@@ -1,0 +1,305 @@
+"""Inverted-index build pipeline (the distributed analogue of Hunt's
+insert path: Hunt/Interpreter.hs:421-480 -> ContextIndex.hs:218-265 ->
+IndexWriter.hs:78-176).
+
+Stages (each committed as a catalog snapshot; resumable):
+
+1. ``doc_meta``  — (doc_id, url, weight, lang, warc_ts); doc_id =
+   xxhash64(url) (Hunt uses Murmur64 of the URI, DocId.hs:76-77 — same
+   role: deterministic 64-bit id, no global id-assignment shuffle).
+2. ``postings``  — (context, shard, term, term_lc, doc_id, tf, dl,
+   positions). Built **map-side**: tokens of one document live in one
+   row, so the (term -> positions) inversion happens inside an Arrow
+   UDF per document with *zero shuffle* — only the final layout
+   repartition by (context, shard, salt) moves data. At 100 TB this is
+   the difference between shuffling all tokens (posexplode+groupBy)
+   and shuffling already-aggregated postings (~3-5x smaller).
+   ``dl`` (per-doc-context token count) is denormalized into the
+   posting row so BM25 scoring never joins the doc table.
+   Layout: partitioned by (context, shard=pmod(xxhash64(term_lc), S)),
+   sorted within files by (term_lc, doc_id) => parquet min/max row-group
+   pruning makes term lookups near-index-speed; a salt key spreads
+   hot-term shards across writer tasks (stopword skew).
+3. ``stats``     — context_stats (context, n_docs, avg_dl) +
+   term_stats (context, term_lc, df, cdf, max_tf); broadcast to the
+   scorer. df = docs containing the term case-insensitively.
+4. ``blocks``    — grouped compressed artifact: postings split into
+   doc_id-range blocks of <= block_size entries per (context, term_lc),
+   each block delta+varbyte packed (doc ids) with a block-max BM25
+   upper bound for WAND-style pruning. Block count per term scales
+   with df (two-phase: df join -> range split -> bounded groupBy), so
+   no group ever exceeds block_size — hot terms cannot blow executor
+   memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hunt_spark.functions.analysis import TOKEN_PATTERN_PY
+from hunt_spark.functions.varbyte import delta_varbyte_encode
+from hunt_spark.sources.catalog import IndexCatalog
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@dataclass
+class BuildConfig:
+    n_shards: int = 8
+    salt_buckets: int = 4  # writer-task spread per (context, shard)
+    block_size: int = 4096  # max postings per compressed block
+    context_weights: dict[str, float] = field(default_factory=dict)
+    build_blocks: bool = True
+
+
+POSTINGS_SCHEMA = (
+    "doc_id long, context string, term string, tf int, positions array<int>, dl int"
+)
+
+
+def _invert_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, context, text) -> per-doc postings, map-side.
+
+    Tokenization + inversion per document: stable argsort groups equal
+    tokens; positions are 1-based over the surviving token stream
+    (Hunt Analyze.hs:74-84 ``zip [1..]``).
+    """
+    for b in batches:
+        out_doc, out_cx, out_term, out_tf, out_pos, out_dl = [], [], [], [], [], []
+        for doc_id, cx, text in zip(b["doc_id"], b["context"], b["text"]):
+            toks = TOKEN_PATTERN_PY.findall(text or "")
+            dl = len(toks)
+            if dl == 0:
+                continue
+            arr = np.array(toks, dtype=object)
+            order = np.argsort(arr, kind="stable")
+            s = arr[order]
+            # boundaries of equal-term runs
+            starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+            ends = np.concatenate((starts[1:], [len(s)]))
+            pos1 = (order + 1).astype(np.int32)  # 1-based positions
+            for i0, i1 in zip(starts, ends):
+                out_doc.append(doc_id)
+                out_cx.append(cx)
+                out_term.append(s[i0])
+                out_tf.append(i1 - i0)
+                out_pos.append(pos1[i0:i1])  # ascending (stable argsort)
+                out_dl.append(dl)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "context": out_cx,
+                "term": out_term,
+                "tf": pd.Series(out_tf, dtype="int32"),
+                "positions": out_pos,
+                "dl": pd.Series(out_dl, dtype="int32"),
+            }
+        )
+
+
+def postings_from_contexts(
+    docs: DataFrame, context_cols: dict[str, Column], cfg: BuildConfig
+) -> DataFrame:
+    """docs must carry ``doc_id``; context_cols maps context name ->
+    string column with that context's raw text."""
+    per_cx = [
+        docs.select(
+            "doc_id", F.lit(name).alias("context"), col.cast("string").alias("text")
+        )
+        for name, col in context_cols.items()
+    ]
+    stacked = per_cx[0]
+    for d in per_cx[1:]:
+        stacked = stacked.unionByName(d)
+    p = stacked.mapInPandas(_invert_docs, schema=POSTINGS_SCHEMA)
+    return p.withColumn("term_lc", F.lower("term")).withColumn(
+        "shard", F.pmod(F.xxhash64("term_lc"), F.lit(cfg.n_shards)).cast("int")
+    )
+
+
+def context_stats(postings: DataFrame) -> DataFrame:
+    """(context, n_docs, avg_dl) — one row per context.
+
+    Derived from distinct (doc_id, dl) pairs per context; dl is constant
+    per (doc, context) so max==the value.
+    """
+    per_doc = postings.groupBy("context", "doc_id").agg(F.max("dl").alias("dl"))
+    return per_doc.groupBy("context").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(context, term_lc, df, max_tf). df counts *distinct docs*
+    containing the term case-insensitively (Hunt's NoCase trie walk,
+    PrefixTreeIndex.hs:91-98) — a doc holding both "Brain" and "brain"
+    counts once; map-side partial aggregation absorbs hot-term skew."""
+    return postings.groupBy("context", "term_lc").agg(
+        F.countDistinct("doc_id").alias("df"), F.max("tf").alias("max_tf")
+    )
+
+
+def idf_col(df_col: Column, n_docs: Column) -> Column:
+    """BM25 idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (SURVEY.md §2.6 R8)."""
+    return F.log(F.lit(1.0) + (n_docs - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+
+
+def tf_norm_col(tf: Column, dl: Column, avg_dl: Column) -> Column:
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    return (tf * (k1 + F.lit(1.0))) / (
+        tf + k1 * (F.lit(1.0) - b + b * dl / avg_dl)
+    )
+
+
+def build_blocks(
+    spark: SparkSession, postings: DataFrame, tstats: DataFrame,
+    cstats: DataFrame, cfg: BuildConfig,
+) -> DataFrame:
+    """Compressed grouped artifact + block-max metadata.
+
+    Two-phase bounded grouping: join per-term df (sort-merge on
+    (context, term_lc) — a one-time build cost), derive
+    n_blocks = ceil(df / block_size), assign each posting to a doc_id
+    *range* block (doc ids are xxhash64 => uniform over int64, so equal
+    ranges balance), then groupBy(context, term_lc, block_id) with a
+    guaranteed <= ~block_size group size. No window functions, no
+    unbounded collect_list.
+    """
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(cfg.block_size))
+    ).cast("long")
+    # map int64 doc_id uniformly onto [0, n_blocks)
+    unit = (F.col("doc_id").cast("double") / F.lit(2.0**64)) + F.lit(0.5)
+    block_id = F.least(
+        F.floor(unit * F.col("n_blocks")), F.col("n_blocks") - 1
+    ).cast("int")
+
+    joined = (
+        postings.join(tstats, ["context", "term_lc"])
+        .join(F.broadcast(cstats), "context")
+        .withColumn("n_blocks", n_blocks)
+        .withColumn("block_id", block_id)
+        .withColumn(
+            "tf_norm", tf_norm_col(F.col("tf"), F.col("dl"), F.col("avg_dl"))
+        )
+        .withColumn("idf", idf_col(F.col("df"), F.col("n_docs")))
+    )
+    grouped = joined.groupBy("context", "shard", "term_lc", "block_id").agg(
+        F.count("*").alias("n_postings"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("plist"),
+        F.max(F.col("idf") * F.col("tf_norm")).alias("max_bm25"),
+        F.first("df").alias("df"),
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            packed, tfs = [], []
+            for plist in b["plist"]:
+                ids = np.array([p["doc_id"] for p in plist], dtype=np.int64)
+                tf = np.array([p["tf"] for p in plist], dtype=np.int32)
+                order = np.argsort(ids, kind="stable")
+                packed.append(delta_varbyte_encode(ids[order]))
+                tfs.append(tf[order])
+            o = b.drop(columns=["plist"]).copy()
+            o["doc_ids_vb"] = packed
+            o["tfs"] = tfs
+            yield o
+
+    return grouped.mapInPandas(
+        pack,
+        schema=(
+            "context string, shard int, term_lc string, block_id int, "
+            "n_postings long, max_bm25 double, df long, "
+            "doc_ids_vb binary, tfs array<int>"
+        ),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    context_cols: dict[str, Column],
+    catalog: IndexCatalog,
+    cfg: BuildConfig | None = None,
+    build_id: str = "full",
+    resume: bool = True,
+) -> dict[str, dict]:
+    """Run all build stages; returns {stage: manifest entry}.
+
+    ``build_id`` fingerprints the input — rerunning with the same id
+    skips committed stages (the gen_N / RevSpec resume contract,
+    Hunt/SegmentIndex/Open.hs:80-108).
+    """
+    cfg = cfg or BuildConfig()
+    entries: dict[str, dict] = {}
+
+    def stage(name: str, fn) -> dict:
+        key = f"{build_id}/{name}"
+        if resume:
+            done = catalog.completed_stage(key)
+            if done is not None:
+                entries[name] = done
+                return done
+        e = fn(key)
+        entries[name] = e
+        return e
+
+    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    if "weight" not in docs.columns:
+        docs = docs.withColumn("weight", F.lit(1.0))
+
+    meta_cols = [c for c in ("doc_id", "url", "weight", "lang", "warc_ts") if c in docs.columns]
+    stage(
+        "doc_meta",
+        lambda key: catalog.commit(docs.select(*meta_cols), "doc_meta", key),
+    )
+
+    postings = postings_from_contexts(docs, context_cols, cfg)
+    salt = F.pmod(F.col("doc_id"), F.lit(cfg.salt_buckets))
+    laid_out = postings.repartition(F.col("context"), F.col("shard"), salt)
+    stage(
+        "postings",
+        lambda key: catalog.commit(
+            laid_out,
+            "postings",
+            key,
+            partition_by=["context", "shard"],
+            sort_within_by=["term_lc", "doc_id"],
+        ),
+    )
+
+    postings_r = catalog.read(spark, "postings")
+    cstats = context_stats(postings_r)
+    tstats = term_stats(postings_r)
+    stage("context_stats", lambda key: catalog.commit(cstats, "context_stats", key))
+    stage(
+        "term_stats",
+        lambda key: catalog.commit(
+            term_stats(postings_r), "term_stats", key,
+            partition_by=None, sort_within_by=["context", "term_lc"],
+        ),
+    )
+
+    if cfg.build_blocks:
+        blocks = build_blocks(
+            spark,
+            postings_r,
+            catalog.read(spark, "term_stats"),
+            catalog.read(spark, "context_stats"),
+            cfg,
+        )
+        stage(
+            "blocks",
+            lambda key: catalog.commit(
+                blocks, "blocks", key,
+                partition_by=["context", "shard"], sort_within_by=["term_lc", "block_id"],
+            ),
+        )
+    return entries

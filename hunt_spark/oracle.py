@@ -1,0 +1,248 @@
+"""Pure-Python reference scorer (the rank-identity oracle).
+
+Mirrors the Spark query compiler semantics exactly (plans/compiler.py)
+over an in-memory index; used by pytest to assert rank-identical top-k
+doc ids and BM25 scores (atol 1e-6) for the reference query set
+(FIXTURES.md §3) — the role Hunt's golden tests play
+(hunt-searchengine/test/Hunt/InterpreterTests.hs:144-217,
+test/Hunt/RankingTests.hs:92-145).
+
+No Spark imports — numpy/stdlib only.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from hunt_spark.functions.analysis import tokenize_py
+from hunt_spark.operators.build import BM25_B, BM25_K1
+from hunt_spark.plans.ast import (
+    QBoost,
+    QContext,
+    QFullWord,
+    QPhrase,
+    QRange,
+    QSeq,
+    QWord,
+)
+from hunt_spark.plans.parser import parse_query
+
+
+def sim(searched: str, found: str) -> float:
+    """Hunt/Scoring/Keys.hs:42-54 similar'."""
+    if searched == found:
+        return 1.0
+    ls, lf = len(searched), len(found)
+    if ls == lf:
+        return 0.75
+    if ls < lf:
+        return 0.5 * ls / lf
+    return 0.0
+
+
+class OracleIndex:
+    def __init__(self, docs, context_texts, context_weights=None):
+        """docs: iterable of (doc_id, url, weight);
+        context_texts: {context: {doc_id: text}}."""
+        self.urls: dict[int, str] = {}
+        self.weights: dict[int, float] = {}
+        for doc_id, url, w in docs:
+            self.urls[doc_id] = url
+            self.weights[doc_id] = w
+        self.context_weights = context_weights or {}
+        # postings[(cx, term)] = {doc_id: [positions]} (term original case)
+        self.postings: dict[tuple[str, str], dict[int, list[int]]] = defaultdict(dict)
+        self.dl: dict[tuple[str, int], int] = {}
+        self.df: dict[tuple[str, str], int] = defaultdict(int)  # keyed term_lc
+        self.n_docs: dict[str, int] = {}
+        self.avg_dl: dict[str, float] = {}
+        self.contexts = sorted(context_texts)
+        for cx, by_doc in context_texts.items():
+            tot_dl, n = 0, 0
+            for doc_id, text in by_doc.items():
+                toks = tokenize_py(text)
+                if not toks:
+                    continue
+                n += 1
+                tot_dl += len(toks)
+                self.dl[(cx, doc_id)] = len(toks)
+                seen_lc = set()
+                for pos, t in enumerate(toks, start=1):
+                    self.postings[(cx, t)].setdefault(doc_id, []).append(pos)
+                    seen_lc.add(t.lower())
+                for tl in seen_lc:
+                    self.df[(cx, tl)] += 1
+            self.n_docs[cx] = n
+            self.avg_dl[cx] = tot_dl / n if n else 0.0
+        self.terms_by_cx: dict[str, list[str]] = defaultdict(list)
+        for cx, t in self.postings:
+            self.terms_by_cx[cx].append(t)
+
+    # ---- scoring primitives (must match operators/build.py) ----
+    def idf(self, cx: str, term_lc: str) -> float:
+        n = self.n_docs[cx]
+        df = self.df.get((cx, term_lc), 0)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def tf_norm(self, cx: str, doc_id: int, tf: int) -> float:
+        dl = self.dl[(cx, doc_id)]
+        return (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avg_dl[cx])
+        )
+
+    # ---- leg scans ----
+    def _matching_terms(self, cx, word, op, prefix):
+        wl = word.lower()
+        for t in self.terms_by_cx[cx]:
+            if op == "case":
+                ok = t.startswith(word) if prefix else t == word
+            else:
+                tl = t.lower()
+                ok = tl.startswith(wl) if prefix else tl == wl
+            if ok:
+                yield t
+
+    def _scan(self, word, op, prefix, cxs, raw):
+        out = {}  # (cx, doc) -> [score, positions set]
+        for cx in cxs:
+            for t in self._matching_terms(cx, word, op, prefix):
+                s_term = sim(word, t)
+                if s_term <= 0:
+                    continue
+                idf = self.idf(cx, t.lower())
+                for doc_id, poss in self.postings[(cx, t)].items():
+                    contrib = s_term * idf * self.tf_norm(cx, doc_id, len(poss))
+                    if contrib <= 0:
+                        continue
+                    key = (cx, doc_id)
+                    if key not in out:
+                        out[key] = [contrib, set(poss)]
+                    else:
+                        out[key][0] = max(out[key][0], contrib)
+                        out[key][1] |= set(poss)
+        if raw:
+            return {k: (v[0], sorted(v[1])) for k, v in out.items()}
+        return {k: v[0] for k, v in out.items()}
+
+    def _scan_range(self, lo, hi, cxs):
+        lo, hi = lo.lower(), hi.lower()
+        out = {}
+        for cx in cxs:
+            for t in self.terms_by_cx[cx]:
+                tl = t.lower()
+                if not (lo <= tl <= hi):
+                    continue
+                idf = self.idf(cx, tl)
+                for doc_id, poss in self.postings[(cx, t)].items():
+                    contrib = idf * self.tf_norm(cx, doc_id, len(poss))
+                    key = (cx, doc_id)
+                    out[key] = max(out.get(key, 0.0), contrib)
+        return out
+
+    # ---- combinators ----
+    @staticmethod
+    def _and(legs):
+        acc = legs[0]
+        for leg in legs[1:]:
+            acc = {k: acc[k] + leg[k] for k in acc.keys() & leg.keys()}
+        return acc
+
+    @staticmethod
+    def _or(legs):
+        acc = defaultdict(float)
+        for leg in legs:
+            for k, v in leg.items():
+                acc[k] += v
+        return dict(acc)
+
+    @staticmethod
+    def _andnot(legs):
+        acc = dict(legs[0])
+        for leg in legs[1:]:
+            for k in leg:
+                acc.pop(k, None)
+        return acc
+
+    @staticmethod
+    def _sequence(legs, op, dist):
+        acc = dict(legs[0])
+        for j, leg in enumerate(legs[1:], 1):
+            if op == "phrase":
+                lb, ub = j, j
+            elif op == "follow":
+                lb, ub = 1, j * dist
+            else:
+                lb, ub = -j * dist, j * dist
+            nxt = {}
+            for k in acc.keys() & leg.keys():
+                s1, p1 = acc[k]
+                s2, p2 = leg[k]
+                keep = [p for p in p1 if any(lb <= q - p <= ub for q in p2)]
+                if keep:
+                    nxt[k] = (s1 + s2, keep)
+            acc = nxt
+        return acc
+
+    # ---- evaluation ----
+    def eval(self, q, cxs=None, raw=False):
+        cxs = cxs or tuple(self.contexts)
+        if isinstance(q, QWord):
+            return self._scan(q.word, q.op, True, cxs, raw)
+        if isinstance(q, QFullWord):
+            return self._scan(q.word, q.op, False, cxs, raw)
+        if isinstance(q, QPhrase):
+            words = q.phrase.split()
+            if len(words) == 1:
+                return self._scan(words[0], q.op, False, cxs, raw)
+            legs = [self._scan(w, q.op, False, cxs, True) for w in words]
+            res = self._sequence(legs, "phrase", 1)
+            return res if raw else {k: v[0] for k, v in res.items()}
+        if isinstance(q, QRange):
+            return self._scan_range(q.lo, q.hi, cxs)
+        if isinstance(q, QContext):
+            return self.eval(q.query, tuple(q.contexts), raw)
+        if isinstance(q, QBoost):
+            r = self.eval(q.query, cxs, raw)
+            if raw:
+                return {k: (s * q.weight, p) for k, (s, p) in r.items()}
+            return {k: s * q.weight for k, s in r.items()}
+        if isinstance(q, QSeq):
+            if q.op in ("phrase", "follow", "near"):
+                legs = [self.eval(leg, cxs, raw=True) for leg in q.legs]
+                res = self._sequence(legs, q.op, q.dist)
+                return res if raw else {k: v[0] for k, v in res.items()}
+            legs = [self.eval(leg, cxs, raw=False) for leg in q.legs]
+            if q.op == "and":
+                return self._and(legs)
+            if q.op == "or":
+                return self._or(legs)
+            return self._andnot(legs)
+        raise TypeError(type(q))
+
+    def search(self, query, k=10, offset=0):
+        ast = parse_query(query) if isinstance(query, str) else query
+        scored = self.eval(ast)
+        by_doc = defaultdict(float)
+        for (cx, doc_id), s in scored.items():
+            by_doc[doc_id] += s * self.context_weights.get(cx, 1.0)
+        ranked = sorted(
+            (
+                (doc_id, self.urls[doc_id], s * self.weights[doc_id])
+                for doc_id, s in by_doc.items()
+            ),
+            key=lambda r: (-r[2], r[1]),
+        )
+        return ranked[offset : offset + k]
+
+    def completion(self, prefix, k=10, contexts=None):
+        cxs = contexts or self.contexts
+        scores = defaultdict(float)
+        for cx in cxs:
+            for t in self._matching_terms(cx, prefix, "nocase", True):
+                s_term = sim(prefix, t)
+                if s_term <= 0:
+                    continue
+                for poss in self.postings[(cx, t)].values():
+                    scores[t] += s_term * len(poss)
+        return sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:k]

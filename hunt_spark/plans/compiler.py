@@ -1,0 +1,313 @@
+"""Query compiler: Query AST -> declarative DataFrame plan.
+
+The distributed analogue of Hunt's query processor
+(Hunt/Query/Processor.hs:250-366 tree walk, posting-set algebra
+Hunt/Common/Occurrences.hs:88-117 + Positions.hs:93-114, aggregation
+Hunt/Query/Intermediate.hs:267-484). Every operator is expressed with
+built-in pyspark.sql functions so Catalyst applies predicate pushdown,
+column pruning (positions are only read for phrase/NEAR/FOLLOW legs),
+broadcast join selection and partition pruning (the ``shard`` filter
+constant-folds to a partition predicate).
+
+Operator mapping (SURVEY.md §2.4-2.6):
+    AND        inner join on (context, doc_id), score = sum of legs
+    OR         unionByName + groupBy(context, doc_id).sum(score)
+    AND NOT    left anti join, keeps left score
+    phrase     fold: keep first-word positions p with p+j in pos(w_j)
+    FOLLOW d   interval [1, j*d]   (Intermediate.hs:513-524)
+    NEAR d     interval [-j*d, j*d] (Intermediate.hs:526-538)
+    boost      score * w
+    context    predicate on the context column
+    range      term BETWEEN lo AND hi
+
+Scoring: BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))),
+multiplied by the Hunt word-similarity weight for prefix expansion
+(Hunt/Scoring/Keys.hs:42-54: equal=1.0, same-length=0.75, prefix=
+0.5*|q|/|w|). A prefix leg aggregates expanded terms per doc with MAX.
+Deliberate deviation from Hunt's native scorer: OR sums leg scores
+(standard disjunctive BM25) instead of Hunt's per-doc max; the pytest
+oracle defines rank-identity and mirrors this exactly.
+
+Final ranking: total = doc_weight * sum_cx(cx_weight * score_cx);
+tie-break (score DESC, url ASC) — Hunt's RankedDoc total order
+(Intermediate.hs:371-384).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hunt_spark.operators.build import idf_col, tf_norm_col
+from hunt_spark.plans.ast import (
+    QBoost,
+    QContext,
+    QFullWord,
+    QPhrase,
+    QRange,
+    QSeq,
+    QWord,
+)
+
+SCORED = ("context", "doc_id", "score")
+RAW = ("context", "doc_id", "score", "positions")
+
+
+@dataclass
+class IndexStats:
+    """Per-context collection stats, collected once (tiny) and folded
+    into scoring expressions as literal maps — the broadcast-stats
+    pattern without a join."""
+
+    n_docs: dict[str, int]
+    avg_dl: dict[str, float]
+    context_weights: dict[str, float]
+
+    def lit_map(self, d: dict[str, float]) -> Column:
+        pairs = []
+        for k, v in d.items():
+            pairs += [F.lit(k), F.lit(float(v))]
+        return F.create_map(*pairs)
+
+
+def sim_col(searched: str, found: Column) -> Column:
+    """Hunt/Scoring/Keys.hs:42-54 similar'."""
+    ls = len(searched)
+    lf = F.length(found)
+    return (
+        F.when(found == F.lit(searched), F.lit(1.0))
+        .when(lf == F.lit(ls), F.lit(0.75))
+        .when(F.lit(ls) < lf, F.lit(0.5) * F.lit(float(ls)) / lf.cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+
+
+class QueryCompiler:
+    def __init__(
+        self,
+        postings: DataFrame,
+        term_stats: DataFrame,
+        stats: IndexStats,
+        n_shards: int,
+        all_contexts: list[str] | None = None,
+    ):
+        self.postings = postings
+        self.term_stats = term_stats
+        self.stats = stats
+        self.n_shards = n_shards
+        self.all_contexts = tuple(all_contexts or sorted(stats.n_docs))
+        self._n_map = stats.lit_map({k: float(v) for k, v in stats.n_docs.items()})
+        self._avgdl_map = stats.lit_map(stats.avg_dl)
+
+    # ------------------------------------------------------------------
+    # primary scans
+    # ------------------------------------------------------------------
+    def _term_predicate(self, word: str, op: str, prefix: bool) -> Column:
+        wl = word.lower()
+        if op == "case":
+            c = F.col("term").startswith(word) if prefix else (F.col("term") == word)
+            # lowercase shard/minmax pruning is still valid for cased lookups
+            c = c & (
+                F.col("term_lc").startswith(wl) if prefix else (F.col("term_lc") == wl)
+            )
+        else:  # nocase / fuzzy (fuzzy evaluates as nocase, Processor.hs:606)
+            c = F.col("term_lc").startswith(wl) if prefix else (F.col("term_lc") == wl)
+        return c
+
+    def _scan(
+        self, word: str, op: str, prefix: bool, cxs: tuple, raw: bool
+    ) -> DataFrame:
+        """One query word -> scored (and optionally position-bearing)
+        per-(context, doc) rows."""
+        wl = word.lower()
+        p = self.postings.filter(F.col("context").isin(list(cxs)))
+        p = p.filter(self._term_predicate(word, op, prefix))
+        if not prefix:
+            # constant-folds to a partition-pruning predicate on shard
+            p = p.filter(
+                F.col("shard")
+                == F.pmod(F.xxhash64(F.lit(wl)), F.lit(self.n_shards)).cast("int")
+            )
+        ts = self.term_stats.filter(
+            F.col("term_lc").startswith(wl) if prefix else (F.col("term_lc") == wl)
+        ).select("context", "term_lc", "df")
+        j = p.join(F.broadcast(ts), ["context", "term_lc"])
+        n = self._n_map[F.col("context")]
+        avgdl = self._avgdl_map[F.col("context")]
+        contrib = (
+            sim_col(word, F.col("term"))
+            * idf_col(F.col("df"), n)
+            * tf_norm_col(F.col("tf"), F.col("dl"), avgdl)
+        )
+        j = j.withColumn("contrib", contrib).filter(F.col("contrib") > 0)
+        if raw:
+            # merge expanded terms per doc: positions unioned, score = max
+            return j.groupBy("context", "doc_id").agg(
+                F.max("contrib").alias("score"),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("positions")))
+                ).alias("positions"),
+            )
+        return j.groupBy("context", "doc_id").agg(F.max("contrib").alias("score"))
+
+    def _scan_range(self, lo: str, hi: str, cxs: tuple) -> DataFrame:
+        p = self.postings.filter(F.col("context").isin(list(cxs)))
+        p = p.filter(F.col("term_lc").between(lo.lower(), hi.lower()))
+        ts = self.term_stats.filter(
+            F.col("term_lc").between(lo.lower(), hi.lower())
+        ).select("context", "term_lc", "df")
+        j = p.join(F.broadcast(ts), ["context", "term_lc"])
+        n = self._n_map[F.col("context")]
+        avgdl = self._avgdl_map[F.col("context")]
+        contrib = idf_col(F.col("df"), n) * tf_norm_col(
+            F.col("tf"), F.col("dl"), avgdl
+        )
+        return (
+            j.withColumn("contrib", contrib)
+            .groupBy("context", "doc_id")
+            .agg(F.max("contrib").alias("score"))
+        )
+
+    # ------------------------------------------------------------------
+    # combinators
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _and(legs: list[DataFrame]) -> DataFrame:
+        acc = legs[0]
+        for i, leg in enumerate(legs[1:], 1):
+            r = leg.withColumnRenamed("score", f"_s{i}")
+            acc = acc.join(r, ["context", "doc_id"]).withColumn(
+                "score", F.col("score") + F.col(f"_s{i}")
+            ).drop(f"_s{i}")
+        return acc.select(*SCORED)
+
+    @staticmethod
+    def _or(legs: list[DataFrame]) -> DataFrame:
+        u = legs[0].select(*SCORED)
+        for leg in legs[1:]:
+            u = u.unionByName(leg.select(*SCORED))
+        return u.groupBy("context", "doc_id").agg(F.sum("score").alias("score"))
+
+    @staticmethod
+    def _andnot(legs: list[DataFrame]) -> DataFrame:
+        acc = legs[0]
+        for leg in legs[1:]:
+            acc = acc.join(
+                leg.select("context", "doc_id"), ["context", "doc_id"], "left_anti"
+            )
+        return acc.select(*SCORED)
+
+    @staticmethod
+    def _sequence(legs: list[DataFrame], op: str, dist: int) -> DataFrame:
+        """Positional fold (Intermediate.hs:502-538 evalSequence/Follow/Near):
+        keep first-leg positions p where some q in leg_j satisfies
+        q - p in [lb_j, ub_j]."""
+        acc = legs[0]
+        for j, leg in enumerate(legs[1:], 1):
+            if op == "phrase":
+                lb, ub = j, j
+            elif op == "follow":
+                lb, ub = 1, j * dist
+            else:  # near
+                lb, ub = -j * dist, j * dist
+            r = leg.withColumnRenamed("score", f"_s{j}").withColumnRenamed(
+                "positions", f"_p{j}"
+            )
+            acc = (
+                acc.join(r, ["context", "doc_id"])
+                .withColumn(
+                    "positions",
+                    F.filter(
+                        F.col("positions"),
+                        lambda p: F.exists(
+                            F.col(f"_p{j}"),
+                            lambda q: (q - p).between(F.lit(lb), F.lit(ub)),
+                        ),
+                    ),
+                )
+                .filter(F.size("positions") > 0)
+                .withColumn("score", F.col("score") + F.col(f"_s{j}"))
+                .drop(f"_s{j}", f"_p{j}")
+            )
+        return acc.select(*RAW)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def eval(self, q, cxs: tuple | None = None, raw: bool = False) -> DataFrame:
+        cxs = cxs or self.all_contexts
+        if isinstance(q, QWord):
+            return self._scan(q.word, q.op, True, cxs, raw)
+        if isinstance(q, QFullWord):
+            return self._scan(q.word, q.op, False, cxs, raw)
+        if isinstance(q, QPhrase):
+            words = q.phrase.split()
+            if len(words) == 1:
+                return self._scan(words[0], q.op, False, cxs, raw)
+            legs = [self._scan(w, q.op, False, cxs, True) for w in words]
+            res = self._sequence(legs, "phrase", 1)
+            return res if raw else res.select(*SCORED)
+        if isinstance(q, QRange):
+            if raw:
+                raise ValueError("range query inside a positional sequence")
+            return self._scan_range(q.lo, q.hi, cxs)
+        if isinstance(q, QContext):
+            missing = set(q.contexts) - set(self.all_contexts)
+            if missing:
+                raise KeyError(f"unknown contexts: {sorted(missing)}")
+            return self.eval(q.query, tuple(q.contexts), raw)
+        if isinstance(q, QBoost):
+            r = self.eval(q.query, cxs, raw)
+            return r.withColumn("score", F.col("score") * F.lit(float(q.weight)))
+        if isinstance(q, QSeq):
+            legs_q = self._flatten(q)
+            if q.op in ("phrase", "follow", "near"):
+                legs = [self.eval(leg, cxs, raw=True) for leg in legs_q]
+                res = self._sequence(legs, q.op, q.dist)
+                return res if raw else res.select(*SCORED)
+            if raw:
+                raise ValueError(f"{q.op} not supported inside a positional sequence")
+            legs = [self.eval(leg, cxs, raw=False) for leg in legs_q]
+            if q.op == "and":
+                return self._and(legs)
+            if q.op == "or":
+                return self._or(legs)
+            return self._andnot(legs)
+        raise TypeError(f"unknown query node {type(q)}")
+
+    @staticmethod
+    def _flatten(q: QSeq) -> list:
+        """Associative n-ary flattening (Processor.hs:482-501
+        collectAssoc); AND NOT stays left-assoc (binary fold handles it)."""
+        out = []
+        for leg in q.legs:
+            if (
+                isinstance(leg, QSeq)
+                and leg.op == q.op
+                and q.op in ("and", "or")
+            ):
+                out.extend(QueryCompiler._flatten(leg))
+            elif (
+                isinstance(leg, QSeq)
+                and leg.op == q.op
+                and q.op in ("phrase", "follow", "near")
+                and leg.dist == q.dist
+            ):
+                out.extend(QueryCompiler._flatten(leg))
+            else:
+                out.append(leg)
+        return out
+
+    # ------------------------------------------------------------------
+    # final aggregation (Intermediate.hs:267-278 boostAndAggregateCx +
+    # :348-361 toDocsResult)
+    # ------------------------------------------------------------------
+    def collapse_contexts(self, scored: DataFrame) -> DataFrame:
+        w = self.stats.lit_map(
+            {c: self.stats.context_weights.get(c, 1.0) for c in self.all_contexts}
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum(F.col("score") * w[F.col("context")]).alias("score")
+        )

@@ -1,0 +1,217 @@
+"""Hunt text query parser — recursive descent, pure driver-side code.
+
+Reimplements the grammar of hunt's Parsec parser
+(Hunt/Query/Language/Parser.hs:60-250): precedence
+OR < AND (incl. AND NOT) < NEAR/FOLLOW/++ < juxtaposition(=AND);
+``!w`` case-sensitive, ``~w`` fuzzy, ``"…"`` phrase, ``'…'`` exact
+word, ``cx,cx2:(q)`` context restriction, ``[a TO b]`` range,
+``q^boost``, backslash escapes, parens.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hunt_spark.plans.ast import (
+    QBoost,
+    QContext,
+    QFullWord,
+    QPhrase,
+    QRange,
+    QSeq,
+    QWord,
+)
+
+_NUM_RE = re.compile(r"\d+(\.\d+)?")
+_SPECIAL = set('()[]^:,"\' \t\n')
+
+
+class ParseError(ValueError):
+    pass
+
+
+class _Lexer:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.toks: list[tuple[str, str]] = []
+        self._lex()
+        self.p = 0
+
+    def _lex(self) -> None:
+        s, n = self.s, len(self.s)
+        i = 0
+        while i < n:
+            c = s[i]
+            if c in " \t\n\r":
+                i += 1
+                continue
+            if c in "()[]^:,":
+                self.toks.append((c, c))
+                i += 1
+                continue
+            if c in "\"'":
+                quote, j, buf = c, i + 1, []
+                while j < n and s[j] != quote:
+                    if s[j] == "\\" and j + 1 < n:
+                        buf.append(s[j + 1])
+                        j += 2
+                    else:
+                        buf.append(s[j])
+                        j += 1
+                if j >= n:
+                    raise ParseError(f"unterminated {quote} at {i}")
+                self.toks.append(("PHRASE" if quote == '"' else "QWORD", "".join(buf)))
+                i = j + 1
+                continue
+            # bare word (with escapes)
+            buf = []
+            j = i
+            while j < n and (s[j] == "\\" or s[j] not in _SPECIAL):
+                if s[j] == "\\" and j + 1 < n:
+                    buf.append(s[j + 1])
+                    j += 2
+                else:
+                    buf.append(s[j])
+                    j += 1
+            word = "".join(buf)
+            kw = word.upper()
+            if kw in ("AND", "OR", "NOT", "NEAR", "FOLLOW", "TO") or word == "++":
+                self.toks.append((kw if word != "++" else "++", word))
+            else:
+                self.toks.append(("WORD", word))
+            i = j
+        self.toks.append(("EOF", ""))
+
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.p + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.p += 1
+        return t
+
+    def expect(self, kind: str) -> str:
+        k, v = self.next()
+        if k != kind:
+            raise ParseError(f"expected {kind}, got {k}({v!r})")
+        return v
+
+
+def parse_query(s: str):
+    lx = _Lexer(s)
+    q = _or_expr(lx)
+    if lx.peek()[0] != "EOF":
+        raise ParseError(f"trailing input at token {lx.peek()}")
+    return q
+
+
+def _or_expr(lx):
+    left = _and_expr(lx)
+    while lx.peek()[0] == "OR":
+        lx.next()
+        left = QSeq("or", (left, _and_expr(lx)))
+    return left
+
+
+def _and_expr(lx):
+    left = _near_expr(lx)
+    while lx.peek()[0] == "AND":
+        lx.next()
+        if lx.peek()[0] == "NOT":
+            lx.next()
+            left = QSeq("andnot", (left, _near_expr(lx)))
+        else:
+            left = QSeq("and", (left, _near_expr(lx)))
+    return left
+
+
+def _near_expr(lx):
+    left = _juxt_expr(lx)
+    while lx.peek()[0] in ("NEAR", "FOLLOW", "++"):
+        k, _ = lx.next()
+        if k == "++":
+            right = _juxt_expr(lx)
+            left = QSeq("phrase", (left, right))
+        else:
+            kind, num = lx.next()
+            if kind != "WORD" or not _NUM_RE.fullmatch(num):
+                raise ParseError(f"{k} requires an integer distance, got {num!r}")
+            right = _juxt_expr(lx)
+            left = QSeq(k.lower(), (left, right), int(float(num)))
+    return left
+
+
+_PRIMARY_START = ("WORD", "PHRASE", "QWORD", "(", "[")
+
+
+def _juxt_expr(lx):
+    legs = [_postfix(lx)]
+    while lx.peek()[0] in _PRIMARY_START:
+        legs.append(_postfix(lx))
+    return legs[0] if len(legs) == 1 else QSeq("and", tuple(legs))
+
+
+def _postfix(lx):
+    q = _primary(lx)
+    while lx.peek()[0] == "^":
+        lx.next()
+        kind, num = lx.next()
+        if kind != "WORD" or not _NUM_RE.fullmatch(num):
+            raise ParseError(f"boost requires a number, got {num!r}")
+        q = QBoost(float(num), q)
+    return q
+
+
+def _word_op(w: str) -> tuple[str, str]:
+    if w.startswith("!"):
+        return w[1:], "case"
+    if w.startswith("~"):
+        return w[1:], "fuzzy"
+    return w, "nocase"
+
+
+def _primary(lx):
+    kind, val = lx.peek()
+    if kind == "(":
+        lx.next()
+        q = _or_expr(lx)
+        lx.expect(")")
+        return q
+    if kind == "[":
+        lx.next()
+        lo = lx.expect("WORD")
+        lx.expect("TO")
+        hi = lx.expect("WORD")
+        lx.expect("]")
+        return QRange(lo, hi)
+    if kind == "PHRASE":
+        lx.next()
+        return QPhrase(val, "nocase")
+    if kind == "QWORD":
+        lx.next()
+        return QFullWord(val, "nocase")
+    if kind == "WORD":
+        # context restriction lookahead: cx[,cx2]*:primary
+        cxs, k = [val], 1
+        while lx.peek(k)[0] == ",":
+            if lx.peek(k + 1)[0] != "WORD":
+                break
+            cxs.append(lx.peek(k + 1)[1])
+            k += 2
+        if lx.peek(k)[0] == ":":
+            for _ in range(k + 1):
+                lx.next()
+            return QContext(tuple(cxs), _primary(lx))
+        lx.next()
+        w, op = _word_op(val)
+        if not w:
+            # '!' / '~' directly before a quoted word or phrase
+            if op != "nocase" and lx.peek()[0] in ("PHRASE", "QWORD"):
+                kind2, val2 = lx.next()
+                return (
+                    QPhrase(val2, op) if kind2 == "PHRASE" else QFullWord(val2, op)
+                )
+            raise ParseError("empty word")
+        return QWord(w, op)
+    raise ParseError(f"unexpected token {kind}({val!r})")

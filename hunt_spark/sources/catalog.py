@@ -1,0 +1,163 @@
+"""Snapshot-committed parquet table catalog (Iceberg-semantics fallback).
+
+The reference persists its index as immutable segments plus generation
+files ``gen_N``; opening scans generations and loads the newest or a
+pinned revision (hunt: Hunt/SegmentIndex/Directory/Layout.hs:8-27,
+Hunt/SegmentIndex/Open.hs:80-108, commit protocol
+Hunt/SegmentIndex/IndexWriter.hs:180-233). On a cluster this layer is
+Iceberg (immutable data files + snapshot metadata + optimistic
+commits); the sandbox has no Iceberg runtime jar, so this module keeps
+the same semantics over plain parquet:
+
+- every table write lands in a fresh immutable ``snap_<id>`` directory;
+- the commit point is one appended JSON line in ``_snapshots.jsonl``
+  (crash before the append ⇒ the snapshot is invisible — atomicity);
+- readers resolve the newest committed snapshot (or a pinned one);
+- a build stage is identified by a ``stage_key`` (stage name + input
+  fingerprint); re-running a build skips stages whose key is already
+  committed — the resumability contract;
+- per-partition lineage metrics (rows, bytes, posting counts) are
+  recorded with each commit.
+
+Swapping this for real Iceberg is confined to this module: writes
+become ``df.writeTo(tbl).append()`` and resume keys become snapshot
+properties.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.manifest_path = os.path.join(root, "_snapshots.jsonl")
+
+    # ---- manifest ----
+    def _manifest(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def snapshots(self, table: str | None = None) -> list[dict]:
+        m = self._manifest()
+        return [e for e in m if table is None or e["table"] == table]
+
+    def completed_stage(self, stage_key: str) -> dict | None:
+        for e in reversed(self._manifest()):
+            if e.get("stage_key") == stage_key:
+                return e
+        return None
+
+    # ---- write/commit ----
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        stage_key: str,
+        partition_by: list[str] | None = None,
+        sort_within_by: list[str] | None = None,
+        extra_meta: dict | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        """Write df as a new immutable snapshot of ``table`` and commit it.
+
+        ``mode='overwrite'`` makes this snapshot the new base;
+        ``mode='append'`` adds a delta snapshot — readers union the last
+        base with every later append (Iceberg append semantics).
+        Returns the manifest entry (incl. per-partition lineage metrics).
+        """
+        snap_id = f"{int(time.time() * 1000):013d}_{uuid.uuid4().hex[:8]}"
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, f"snap_{snap_id}")
+        t0 = time.time()
+        w = df
+        if sort_within_by:
+            w = w.sortWithinPartitions(*sort_within_by)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        wall_ms = int((time.time() - t0) * 1000)
+        entry = {
+            "snapshot_id": snap_id,
+            "table": table,
+            "stage_key": stage_key,
+            "mode": mode,
+            "path": path,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "wall_ms": wall_ms,
+            "lineage": self._partition_lineage(path),
+        }
+        if extra_meta:
+            entry["meta"] = extra_meta
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")  # the commit point
+        return entry
+
+    @staticmethod
+    def _partition_lineage(path: str) -> list[dict]:
+        """Per-partition (rows, bytes, files) from parquet footers — the
+        posting-count/byte-size metrics ledger the north rule requires."""
+        out: dict[str, dict] = {}
+        for dirpath, _dirs, files in os.walk(path):
+            part = os.path.relpath(dirpath, path)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(fp).metadata
+                rec = out.setdefault(
+                    part, {"partition": part, "rows": 0, "bytes": 0, "files": 0}
+                )
+                rec["rows"] += md.num_rows
+                rec["bytes"] += os.path.getsize(fp)
+                rec["files"] += 1
+        return sorted(out.values(), key=lambda r: r["partition"])
+
+    # ---- read ----
+    def current_paths(
+        self, table: str, pinned_snapshot: str | None = None
+    ) -> list[str]:
+        """Paths forming the table's current state: the newest base
+        (mode=overwrite) snapshot plus all appends committed after it.
+        A pinned snapshot reads exactly that snapshot (VERSION AS OF)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        if pinned_snapshot is not None:
+            for e in snaps:
+                if e["snapshot_id"] == pinned_snapshot:
+                    return [e["path"]]
+            raise FileNotFoundError(f"snapshot {pinned_snapshot} of {table} not found")
+        base = 0
+        for i, e in enumerate(snaps):
+            if e.get("mode", "overwrite") == "overwrite":
+                base = i
+        return [snaps[base]["path"]] + [
+            e["path"]
+            for e in snaps[base + 1 :]
+            if e.get("mode", "overwrite") == "append"
+        ]
+
+    def latest_path(self, table: str, pinned_snapshot: str | None = None) -> str:
+        return self.current_paths(table, pinned_snapshot)[-1]
+
+    def read(
+        self, spark: SparkSession, table: str, pinned_snapshot: str | None = None
+    ) -> DataFrame:
+        paths = self.current_paths(table, pinned_snapshot)
+        df = spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            df = df.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+        return df

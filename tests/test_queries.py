@@ -1,0 +1,97 @@
+"""Rank-identity gate: Spark engine vs pure-Python oracle on the
+reference query set (FIXTURES.md §3) — top-k docIDs identical, BM25
+scores equal to atol 1e-6, tie-break (score DESC, url ASC)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hunt_spark.plans.parser import parse_query
+
+K = 10
+
+REFERENCE_QUERIES = {
+    "q01": "brain",
+    "q02": "!Brain",
+    "q03": "bra",
+    "q04": "new york",
+    "q05": "new AND york AND city",
+    "q06": "cat OR dog",
+    "q07": "cat AND NOT dog",
+    "q08": '"pinky and the brain"',
+    "q09": "pinky NEAR 3 brain",
+    "q10": "pinky FOLLOW 5 brain",
+    "q11": "title:brain",
+    "q12": "[ba TO bd]",  # FIXTURES.md has [aa TO ac] but the vocab has no terms there
+    "q13": "brain^2.5 OR pinky",
+    "q14": '(cat OR dog) AND NOT "stupid questions"',
+}
+
+
+def run_both(engine, oracle, q, k=K):
+    got = [
+        (r["doc_id"], r["url"], r["score"])
+        for r in engine.search(q, k=k).collect()
+    ]
+    want = oracle.search(q, k=k)
+    return got, want
+
+
+@pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+def test_rank_identity(engine, oracle, qid):
+    q = REFERENCE_QUERIES[qid]
+    got, want = run_both(engine, oracle, q)
+    assert len(got) > 0, f"{qid}: engine returned no hits"
+    assert [g[0] for g in got] == [w[0] for w in want], (
+        f"{qid}: doc ranking differs\n got={got}\nwant={want}"
+    )
+    for g, w in zip(got, want):
+        assert math.isclose(g[2], w[2], abs_tol=1e-6), f"{qid}: {g} vs {w}"
+
+
+def test_completion_rank_identity(engine, oracle):
+    got = [(r["term"], r["score"]) for r in engine.completion("bra", k=10).collect()]
+    want = oracle.completion("bra", k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], abs_tol=1e-6)
+
+
+def test_case_sensitive_excludes_lowercase(engine, oracle):
+    # only the planted doc 1 contains capital "Brain"
+    got, want = run_both(engine, oracle, "!Brain")
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert len(got) >= 1
+
+
+def test_phrase_subset_of_and(engine):
+    phrase = {r["doc_id"] for r in engine.select('"pinky and the brain"').collect()}
+    conj = {
+        r["doc_id"]
+        for r in engine.select("'pinky' 'and' 'the' 'brain'").collect()
+    }
+    assert phrase and phrase <= conj
+
+
+def test_and_subset_of_or(engine):
+    a = {r["doc_id"] for r in engine.select("'cat' 'dog'").collect()}
+    o = {r["doc_id"] for r in engine.select("'cat' OR 'dog'").collect()}
+    assert a <= o
+
+
+def test_offset_pagination(engine, oracle):
+    got = [r["doc_id"] for r in engine.search("the", k=5, offset=5).collect()]
+    want = [w[0] for w in oracle.search("the", k=5, offset=5)]
+    assert got == want
+
+
+def test_near_symmetric_follow_directed(engine, oracle):
+    # planted doc 6 "brain one two three pinky": NEAR 4 matches both orders,
+    # FOLLOW 4 only brain-then-pinky
+    near = {r["doc_id"] for r in engine.select("'pinky' NEAR 4 'brain'").collect()}
+    follow = {r["doc_id"] for r in engine.select("'pinky' FOLLOW 4 'brain'").collect()}
+    o_near = {k[1] for k in oracle.eval(parse_query("'pinky' NEAR 4 'brain'"))}
+    assert near == o_near
+    assert follow <= near
