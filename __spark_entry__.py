@@ -1,38 +1,336 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a hunt_spark operator (SURVEY.md §2 +
+training-data extensions) over the driver's parquet tables; the
+matching ``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB
+runs on the same tables. Column names/values are aligned exactly;
+scores are fixed-point ``*_x1e4`` bigints so cross-engine float noise
+cannot flip the hash.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators import textops
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+_ENGINES: dict[str, HuntEngine] = {}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
+    """Build (once per sf_dir) a single-context index over documents."""
+    eng = _ENGINES.get(sf_dir)
+    if eng is None:
+        root = tempfile.mkdtemp(prefix="hunt_idx_")
+        eng = HuntEngine(spark, root, BuildConfig(n_shards=8, salt_buckets=2))
+        eng.build(_docs(spark, sf_dir), {"text": F.col("text")}, build_id=sf_dir)
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _ranked(df: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic top-k on the fixed-point score: ties broken by
+    doc_id — identical ordering rule in the oracle SQL."""
+    out = df.select(
+        "doc_id", F.round(F.col("score") * 10000).cast("long").alias("score_x1e4")
+    )
+    return out.orderBy(F.desc("score_x1e4"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def _q_search(q: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        n = eng.doc_meta().count()
+        return _ranked(eng.search(q, k=n), k)
+
+    return run
+
+
+def _q_select(q: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).select(q)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- boolean retrieval / posting algebra (SURVEY §2.4-2.5) ---
+        "idx_term_lookup": _q_select("'spark'"),
+        "idx_bool_and": _q_select("'spark' 'hash'"),
+        "idx_bool_or": _q_select("'spark' OR 'hash'"),
+        "idx_bool_andnot": _q_select("'batch' AND NOT 'dup'"),
+        "idx_phrase": _q_select("\"batch batch\""),
+        # --- BM25 scored retrieval (SURVEY §2.6 R8) ---
+        "idx_bm25_single": _q_search("'spark'"),
+        "idx_bm25_and": _q_search("'spark' 'hash'"),
+        "idx_bm25_or": _q_search("'spark' OR 'hash'"),
+        "idx_bm25_boost": _q_search("'spark'^2 OR 'hash'"),
+        "idx_bm25_prefix": _q_search("sc"),
+        "idx_bm25_range": _q_search("[batch TO join]"),
+        "idx_completion": lambda spark, sf_dir: (
+            # rank on the fixed-point score (limit after rounding) so the
+            # top-10 cut is bit-identical to the oracle's
+            _engine(spark, sf_dir)
+            .completion("s", k=1_000_000)
+            .select(
+                "term",
+                F.round(F.col("score") * 10000).cast("long").alias("score_x1e4"),
+            )
+            .orderBy(F.desc("score_x1e4"), F.asc("term"))
+            .limit(10)
+        ),
+        # --- text analysis / training-data ops ---
+        "txt_token_count": lambda spark, sf_dir: textops.token_counts(
+            _docs(spark, sf_dir)
+        ),
+        "txt_quality": lambda spark, sf_dir: textops.quality_stats(
+            _docs(spark, sf_dir)
+        ),
+        "txt_fingerprint": lambda spark, sf_dir: textops.fingerprint(
+            _docs(spark, sf_dir)
+        ),
+        "txt_langid": lambda spark, sf_dir: textops.langid(_docs(spark, sf_dir)),
+        # --- deduplication ---
+        "dedup_exact": lambda spark, sf_dir: textops.dedup_exact(
+            _docs(spark, sf_dir)
+        ),
+        "dedup_ngram_jaccard": lambda spark, sf_dir: textops.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.8
+        ),
+        "dedup_minhash_lsh": lambda spark, sf_dir: textops.minhash_lsh_pairs(
+            _docs(spark, sf_dir), threshold=0.8
+        ),
+        "dedup_simhash": lambda spark, sf_dir: textops.simhash_pairs(
+            _docs(spark, sf_dir), max_hamming=3
+        ),
+        # --- embedding similarity search ---
+        "emb_cosine_topk": lambda spark, sf_dir: cosine_topk(
+            _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        "emb_ann_lsh": lambda spark, sf_dir: lsh_ann_topk(
+            _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5, dim=64
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 conjunctive top-10 on sf0.001 via the full
+    build->postings->stats->scored-join pipeline."""
+    return _q_search("'spark' 'hash'")(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+# shared CTE prefix: tokenize documents.text exactly like the engine
+# (\w+ scan; ASCII corpus so Java (?U)\w+ == RE2 \w+), BM25 parts with
+# the literal arithmetic the Spark expressions use.
+_BM25_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+cst AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         ln(1.0 + (cst.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+         (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cst.avg_dl)) AS tfn
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN cst
+)
+"""
+
+_RANK = "ORDER BY score_x1e4 DESC, doc_id ASC LIMIT 10"
+
+
+def _bm25(select_body: str) -> str:
+    return (
+        _BM25_CTE
+        + f"SELECT doc_id, CAST(round(s * 10000) AS BIGINT) AS score_x1e4 "
+        f"FROM ({select_body}) {_RANK}"
+    )
+
+
+_SHINGLE_PAIRS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2] AS s
+  FROM t, generate_series(1, 100000) g(pos)
+  WHERE pos + 2 <= len(tk)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(round(inter * 10000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_x1e4
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+_COSINE_TOPK = """
+WITH pairs AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         AS c
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id IN (0, 1, 2, 3, 4) AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         CAST(round(c * 10000) AS BIGINT) AS cosine_x1e4,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY CAST(round(c * 10000) AS BIGINT) DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, cosine_x1e4, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = r"(SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents)"
+    sim_sc = (
+        "CASE WHEN term = 'sc' THEN 1.0 WHEN length(term) = 2 THEN 0.75 "
+        "ELSE 0.5 * 2.0 / length(term) END"
+    )
+    sim_s = (
+        "CASE WHEN term = 's' THEN 1.0 WHEN length(term) = 1 THEN 0.75 "
+        "ELSE 0.5 * 1.0 / length(term) END"
+    )
+    return {
+        "idx_term_lookup": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'spark'",
+        "idx_bool_and": (
+            f"SELECT doc_id FROM {toks} WHERE term IN ('spark','hash') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
+        ),
+        "idx_bool_or": (
+            f"SELECT DISTINCT doc_id FROM {toks} WHERE term IN ('spark','hash')"
+        ),
+        "idx_bool_andnot": (
+            f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'batch' "
+            f"AND doc_id NOT IN (SELECT doc_id FROM {toks} WHERE term = 'dup')"
+        ),
+        "idx_phrase": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\w+')) AS term,
+                              generate_subscripts(regexp_extract_all(text, '\w+'), 1) AS pos
+                       FROM documents)
+            SELECT DISTINCT a.doc_id
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'batch' AND b.term = 'batch'
+        """,
+        "idx_bm25_single": _bm25(
+            "SELECT doc_id, idf * tfn AS s FROM sc WHERE term = 'spark'"
+        ),
+        "idx_bm25_and": _bm25(
+            "SELECT doc_id, sum(idf * tfn) AS s FROM sc "
+            "WHERE term IN ('spark','hash') GROUP BY doc_id "
+            "HAVING count(DISTINCT term) = 2"
+        ),
+        "idx_bm25_or": _bm25(
+            "SELECT doc_id, sum(idf * tfn) AS s FROM sc "
+            "WHERE term IN ('spark','hash') GROUP BY doc_id"
+        ),
+        "idx_bm25_boost": _bm25(
+            "SELECT doc_id, sum(CASE WHEN term = 'spark' THEN idf * tfn * 2.0 "
+            "ELSE idf * tfn END) AS s FROM sc "
+            "WHERE term IN ('spark','hash') GROUP BY doc_id"
+        ),
+        "idx_bm25_prefix": _bm25(
+            f"SELECT doc_id, max(({sim_sc}) * idf * tfn) AS s FROM sc "
+            "WHERE term LIKE 'sc%' GROUP BY doc_id"
+        ),
+        "idx_bm25_range": _bm25(
+            "SELECT doc_id, max(idf * tfn) AS s FROM sc "
+            "WHERE term BETWEEN 'batch' AND 'join' GROUP BY doc_id"
+        ),
+        "idx_completion": (
+            f"SELECT term, CAST(round(sum(({sim_s}) * tf) * 10000) AS BIGINT) AS score_x1e4 "
+            f"FROM (SELECT doc_id, term, count(*) AS tf FROM {toks} GROUP BY 1, 2) "
+            "WHERE term LIKE 's%' GROUP BY term "
+            "ORDER BY score_x1e4 DESC, term ASC LIMIT 10"
+        ),
+        "txt_token_count": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "txt_quality": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk FROM documents)
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(round(len(list_distinct(tk)) * 10000.0 / len(tk)) AS BIGINT)
+                     AS distinct_ratio_x1e4,
+                   CAST(round(len(list_filter(tk, x -> x IN
+                     ('the','a','of','to','and','in','is','it'))) * 10000.0 / len(tk))
+                     AS BIGINT) AS stopword_ratio_x1e4,
+                   CAST(round(list_sum(list_transform(tk, x -> length(x))) * 100.0
+                     / len(tk)) AS BIGINT) AS mean_token_len_x100
+            FROM t WHERE len(tk) > 0
+        """,
+        "txt_fingerprint": (
+            r"SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            r"regexp_extract_all(text, '\w+'))), ' ')) AS fp FROM documents"
+        ),
+        "txt_langid": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\w+') AS tk
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(tk, x -> x IN
+                           ('the','a','of','to','and','in','is','it'))) AS en,
+                         len(list_filter(tk, x -> x IN
+                           ('der','die','das','und','ist','nicht','ein','zu'))) AS de
+                  FROM t)
+            SELECT doc_id, CASE WHEN en > de AND en > 0 THEN 'en'
+                                WHEN de > en AND de > 0 THEN 'de'
+                                ELSE 'unk' END AS pred_lang
+            FROM c
+        """,
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, count(*) AS n_docs, "
+            "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": _SHINGLE_PAIRS,
+        # LSH with bands=8/rows=1 at this jaccard separation finds the
+        # exact pair set — verified against the exhaustive oracle.
+        "dedup_minhash_lsh": _SHINGLE_PAIRS,
+        # dedup_simhash: no SQL oracle (hash function not expressible) —
+        # driver records rows-only check.
+        "emb_cosine_topk": _COSINE_TOPK,
+        # emb_ann_lsh: approximate by design — rows-only check.
+    }

@@ -251,7 +251,11 @@ def build_index(
         entries[name] = e
         return e
 
-    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    if "doc_id" not in docs.columns:
+        docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    if "url" not in docs.columns:
+        # zero-padded so lexicographic url order == numeric doc_id order
+        docs = docs.withColumn("url", F.lpad(F.col("doc_id").cast("string"), 12, "0"))
     if "weight" not in docs.columns:
         docs = docs.withColumn("weight", F.lit(1.0))
 

@@ -1,0 +1,330 @@
+"""Training-data pipeline operators over document tables.
+
+Deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), text
+quality statistics, token counting, language-ID heuristic, document
+fingerprinting — all expressed with built-in pyspark.sql functions
+(JVM-side, whole-stage codegen) except the SimHash bit-vote kernel,
+which is a vectorized Arrow UDF.
+
+Scale notes: every pairwise operator is bucketed (shingle / band /
+chunk equality) before any join, so candidate generation is
+shuffle-on-key, never a cross join; verification only touches
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hunt_spark.functions.analysis import tokenize_col
+
+# ---------------------------------------------------------------------------
+# tokens / stats
+# ---------------------------------------------------------------------------
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", tokenize_col(text_col))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(tokenize_col(text_col)).alias("n_tokens")
+    )
+
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, distinct-token ratio,
+    stopword ratio, mean token length (scaled to int for stable
+    cross-engine comparison)."""
+    t = tokenize_col(text_col)
+    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    n = F.size("t").cast("double")
+    stop = F.size(
+        F.filter("t", lambda x: x.isin(*STOPWORDS_EN))
+    ).cast("double")
+    dist = F.size(F.array_distinct("t")).cast("double")
+    tot_len = F.aggregate(
+        "t", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    )
+    # multiply-before-divide: keeps the double bit-identical to the
+    # SQL oracle's x*10000.0/n form at round-half boundaries
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(dist * 10000 / n).cast("long").alias("distinct_ratio_x1e4"),
+        F.round(stop * 10000 / n).cast("long").alias("stopword_ratio_x1e4"),
+        F.round(tot_len * 100 / n).cast("long").alias("mean_token_len_x100"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — a cheap bag-of-words identity for corpus diffing."""
+    t = tokenize_col(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(t)), " ")
+        ).alias("fp"),
+    )
+
+
+_DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+
+
+def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic (en vs de vs unknown).
+    Deterministic and SQL-expressible; a real model would slot in as a
+    pandas UDF with the same signature."""
+    t = tokenize_col(F.lower(F.col(text_col)))
+    en = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
+    de = F.size(F.filter(t, lambda x: x.isin(*_DE_STOP)))
+    pred = (
+        F.when((en > de) & (en > 0), F.lit("en"))
+        .when((de > en) & (de > 0), F.lit("de"))
+        .otherwise(F.lit("unk"))
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; keeps min doc_id as
+    the group representative."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def shingles_col(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles as strings (empty array when fewer than k tokens)."""
+    n = F.size(tokens)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(tokens, i, k), " "),
+            )
+        )
+    )
+
+
+def _shingle_rows(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-token-shingle Jaccard.
+
+    Candidate generation = self-equi-join on shingle (shuffle on the
+    shingle key — at scale, hot shingles should be df-capped first),
+    then |A∩B| via count and |A∪B| = |A|+|B|-|A∩B|.
+    Returns (doc_id_a, doc_id_b, jaccard_x1e4), a < b.
+    """
+    sh = _shingle_rows(docs, text_col, k)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard_x1e4", F.round(j * 10000).cast("long"))
+        .filter(j >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard_x1e4")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures: per seed i, min over shingles of
+    xxhash64(seed_i || shingle) — all JVM-side array expressions."""
+    sh = docs.select(
+        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "sh", lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by exact shingle Jaccard.
+
+    bands=8/rows=1 gives P(candidate | j) = 1-(1-j)^8 (>0.999996 at
+    j=0.8), then candidates are verified exactly, so output equals the
+    exhaustive ngram_jaccard_pairs with overwhelming probability while
+    only banded buckets are joined — the 100 TB-safe path.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, k, text_col)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]),
+            F.lit(b),
+        ).alias("band_hash")
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    ).distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = docs.select(
+        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
+    )
+    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn("jaccard_x1e4", F.round(j * 10000).cast("long"))
+        .filter(j >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard_x1e4")
+    )
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-term xxhash-like bit votes weighted by tf.
+    The bit-vote kernel is a vectorized Arrow UDF (numpy), the rest is
+    DataFrame ops."""
+    toks = docs.select("doc_id", tokenize_col(text_col).alias("t")).filter(
+        F.size("t") > 0
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for bdf in batches:
+            out = []
+            for toks_arr in bdf["t"]:
+                terms, tf = np.unique(np.asarray(toks_arr, dtype=object), return_counts=True)
+                # FNV-1a 64-bit per term (deterministic, no deps)
+                hashes = np.fromiter(
+                    (_fnv1a64(t) for t in terms), dtype=np.uint64, count=len(terms)
+                )
+                bits = ((hashes[:, None] & mask[None, :]) != 0).astype(np.int64)
+                votes = ((bits * 2 - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
+                sh = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        sh |= np.uint64(1) << np.uint64(i)
+                out.append(np.int64(sh.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": bdf["doc_id"], "simhash": out})
+
+    return toks.mapInPandas(kernel, schema=SIMHASH_SCHEMA)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for byt in s.encode("utf-8"):
+            h = (h ^ np.uint64(byt)) * prime
+    return h
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via the
+    pigeonhole band trick: split 64 bits into (max_hamming+1) chunks;
+    any pair within distance shares at least one exact chunk — join on
+    chunk equality, verify with bit_count(a XOR b)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash(docs, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
