@@ -1,0 +1,115 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measures (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+  - index build wall time (tokenize -> invert -> layout -> stats ->
+    blocks, all snapshot-committed) and docs/sec
+  - per-query latency for the headline query set (median of N_REPS
+    warm runs per query)
+
+`value` = total wall seconds (build + one pass of queries) — lower is
+better; the per-phase numbers ride along in extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators import textops
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.operators.similarity import cosine_topk
+from hunt_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+N_REPS = int(os.environ.get("HUNT_BENCH_REPS", "3"))
+
+SEARCH_QUERIES = {
+    "q_bm25_single": "'spark'",
+    "q_bm25_and": "'spark' 'hash'",
+    "q_bm25_or3": "'spark' OR 'hash' OR 'merge'",
+    "q_bm25_andnot": "'batch' AND NOT 'dup'",
+    "q_phrase": '"batch batch"',
+    "q_prefix": "sc",
+    "q_range": "[batch TO join]",
+    "q_boost": "'spark'^2 OR 'hash'",
+    "q_completion": None,  # completion path
+}
+
+
+def main() -> None:
+    spark = get_spark("hunt_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    root = tempfile.mkdtemp(prefix="hunt_bench_idx_")
+    eng = HuntEngine(
+        spark, root, BuildConfig(n_shards=max(8, CPUS), salt_buckets=4)
+    )
+
+    t0 = time.time()
+    eng.build(docs, {"text": F.col("text")}, build_id="bench", resume=False)
+    build_s = time.time() - t0
+
+    # warm the compiler/stats once
+    eng.search("'spark'", k=10).collect()
+
+    queries: dict[str, float] = {}
+    for name, q in SEARCH_QUERIES.items():
+        times = []
+        for _ in range(N_REPS):
+            t = time.time()
+            if q is None:
+                eng.completion("s", k=10).collect()
+            else:
+                eng.search(q, k=10).collect()
+            times.append(time.time() - t)
+        queries[name] = round(statistics.median(times), 4)
+
+    # training-data operators (one timed pass each)
+    for name, fn in {
+        "op_dedup_ngram": lambda: textops.ngram_jaccard_pairs(docs, 0.8).count(),
+        "op_dedup_minhash": lambda: textops.minhash_lsh_pairs(docs, 0.8).count(),
+        "op_simhash_pairs": lambda: textops.simhash_pairs(docs, 3).count(),
+        "op_quality": lambda: textops.quality_stats(docs).count(),
+        "op_ann_cosine": lambda: cosine_topk(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), [0, 1, 2, 3, 4], 5
+        ).count(),
+    }.items():
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 4)
+
+    total = round(build_s + sum(queries.values()), 4)
+    out = {
+        "metric": "index_build_plus_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build_sec": round(build_s, 4),
+        "build_docs_per_sec": round(n_docs / build_s, 1),
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "query_p50_sec": round(
+            statistics.median([v for k, v in queries.items() if k.startswith("q_")]), 4
+        ),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
