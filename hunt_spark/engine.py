@@ -19,6 +19,7 @@ from hunt_spark.operators.build import (
 )
 from hunt_spark.plans.compiler import IndexStats, QueryCompiler, sim_col
 from hunt_spark.plans.parser import parse_query
+from hunt_spark.plans.wand import WandExecutor, compile_wand
 from hunt_spark.sources.catalog import IndexCatalog
 
 
@@ -34,6 +35,7 @@ class HuntEngine:
         self.cfg = cfg or BuildConfig()
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
+        self._wand: WandExecutor | None = None
 
     # ------------------------------------------------------------------
     # build / load
@@ -54,6 +56,7 @@ class HuntEngine:
     def _invalidate(self) -> None:
         self._compiler = None
         self._doc_meta = None
+        self._wand = None
 
     def _tombstones(self) -> DataFrame | None:
         try:
@@ -95,18 +98,65 @@ class HuntEngine:
             )
         return self._compiler
 
+    def wand(self) -> WandExecutor | None:
+        """Block-max executor over the compressed blocks artifact.
+
+        Pruning compares block upper bounds against a top-k threshold in
+        raw per-context-sum space, so it is only sound when the final
+        ranking is a monotone transform of that sum: single context (or
+        uniform context weights over one context), uniform doc weights,
+        no tombstones postdating the blocks snapshot (baked-in idf would
+        be stale). Otherwise fall back to the full plan."""
+        if self._wand is None:
+            t = self._tombstones()
+            if t is not None and t.limit(1).count() > 0:
+                return None
+            try:
+                blocks = self.catalog.read(self.spark, "blocks")
+            except FileNotFoundError:
+                return None
+            if len(self.compiler().all_contexts) > 1:
+                return None
+            wrange = self.doc_meta().agg(
+                F.min("weight").alias("lo"), F.max("weight").alias("hi")
+            ).first()
+            if wrange["lo"] != wrange["hi"]:
+                return None
+            self._wand = WandExecutor(self.spark, blocks, self.cfg.n_shards)
+        return self._wand
+
     # ------------------------------------------------------------------
     # query surface
     # ------------------------------------------------------------------
     def _ast(self, query):
         return parse_query(query) if isinstance(query, str) else query
 
-    def search(self, query, k: int = 10, offset: int = 0) -> DataFrame:
+    def search(
+        self, query, k: int = 10, offset: int = 0, use_wand: bool | str = "auto"
+    ) -> DataFrame:
         """Scored top-k retrieval: (doc_id, url, score), tie-break
         (score DESC, url ASC) — Hunt's RankedDoc order
-        (Intermediate.hs:371-384) via TakeOrderedAndProject."""
+        (Intermediate.hs:371-384) via TakeOrderedAndProject.
+
+        ``use_wand="auto"`` routes flat AND/OR-of-exact-words queries
+        through the block-max pruned executor (plans/wand.py); results
+        are rank-identical to the full plan (pinned by tests)."""
+        ast = self._ast(query)
         c = self.compiler()
-        scored = c.collapse_contexts(c.eval(self._ast(query)))
+        scored = None
+        if use_wand in ("auto", True):
+            shape = compile_wand(ast)
+            wx = self.wand() if shape else None
+            if shape and wx is not None:
+                op, legs = shape
+                scored = wx.topk_candidates(
+                    op, legs, k + offset, c.all_contexts
+                )
+            elif use_wand is True:
+                raise ValueError("query shape not WAND-compilable")
+        if scored is None:
+            scored = c.eval(ast)
+        scored = c.collapse_contexts(scored)
         meta = self.doc_meta().select("doc_id", "url", "weight")
         res = scored.join(meta, "doc_id").select(
             "doc_id",

@@ -175,11 +175,13 @@ def build_blocks(
     n_blocks = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(cfg.block_size))
     ).cast("long")
-    # map int64 doc_id uniformly onto [0, n_blocks)
-    unit = (F.col("doc_id").cast("double") / F.lit(2.0**64)) + F.lit(0.5)
-    block_id = F.least(
-        F.floor(unit * F.col("n_blocks")), F.col("n_blocks") - 1
-    ).cast("int")
+    # Exact integer block assignment over the doc-id hash space: u32 =
+    # order-preserving top 32 bits of the signed doc_id, block_id =
+    # (u32 * n_blocks) >> 32. Pure long arithmetic — query-side pruning
+    # reconstructs block intervals with exact rationals (no float
+    # boundary drift).
+    u32 = F.shiftrightunsigned(F.col("doc_id"), 32).bitwiseXOR(F.lit(0x80000000))
+    block_id = F.shiftright(u32 * F.col("n_blocks"), 32).cast("int")
 
     joined = (
         postings.join(tstats, ["context", "term_lc"])
@@ -190,34 +192,43 @@ def build_blocks(
             "tf_norm", tf_norm_col(F.col("tf"), F.col("dl"), F.col("avg_dl"))
         )
         .withColumn("idf", idf_col(F.col("df"), F.col("n_docs")))
+        .withColumn("bm25", F.col("idf") * F.col("tf_norm"))
     )
+    # entries keep the original-case term variant so the decoder can
+    # apply Hunt's word-similarity weight exactly (Keys.hs:42-54)
     grouped = joined.groupBy("context", "shard", "term_lc", "block_id").agg(
         F.count("*").alias("n_postings"),
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("plist"),
-        F.max(F.col("idf") * F.col("tf_norm")).alias("max_bm25"),
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "term", "tf", "bm25"))
+        ).alias("plist"),
+        F.max("bm25").alias("max_bm25"),
         F.first("df").alias("df"),
+        F.first("n_blocks").alias("n_blocks"),
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            packed, tfs = [], []
+            packed, terms, tfs, scores = [], [], [], []
             for plist in b["plist"]:
                 ids = np.array([p["doc_id"] for p in plist], dtype=np.int64)
-                tf = np.array([p["tf"] for p in plist], dtype=np.int32)
-                order = np.argsort(ids, kind="stable")
-                packed.append(delta_varbyte_encode(ids[order]))
-                tfs.append(tf[order])
+                packed.append(delta_varbyte_encode(ids))  # pre-sorted by doc_id
+                terms.append([p["term"] for p in plist])
+                tfs.append(np.array([p["tf"] for p in plist], dtype=np.int32))
+                scores.append(np.array([p["bm25"] for p in plist], dtype=np.float64))
             o = b.drop(columns=["plist"]).copy()
             o["doc_ids_vb"] = packed
+            o["terms"] = terms
             o["tfs"] = tfs
+            o["scores"] = scores
             yield o
 
     return grouped.mapInPandas(
         pack,
         schema=(
             "context string, shard int, term_lc string, block_id int, "
-            "n_postings long, max_bm25 double, df long, "
-            "doc_ids_vb binary, tfs array<int>"
+            "n_postings long, max_bm25 double, df long, n_blocks long, "
+            "doc_ids_vb binary, terms array<string>, tfs array<int>, "
+            "scores array<double>"
         ),
     )
 

@@ -1,0 +1,312 @@
+"""Block-max-WAND-style pruned BM25 top-k over the compressed blocks
+artifact (SURVEY.md §4.3.3; north-star "block-max WAND over
+posting-list intersections").
+
+The reference scores candidates with a bounded priority queue over
+in-memory posting lists (hunt: Data/LimitedPriorityQueue.hs:43-101);
+at cluster scale the analogous trick is *block skipping*: the build
+stage stores, per (context, term_lc, doc-range block), a conservative
+BM25 upper bound ``max_bm25`` (operators/build.py build_blocks). At
+query time:
+
+1. collect the query terms' block *stats* (tiny — df/block_size rows
+   per term) to the driver;
+2. seed a threshold θ: decode only the highest-ub blocks covering
+   ≥ seed_factor·k postings, aggregate, take the k-th best partial
+   score (for OR, any partial score is a lower bound of the true
+   score, so θ is valid);
+3. prune: block B of term t can be skipped iff
+   ``ub(B) = Σ_t' boost_t' · max(max_bm25 of t'-blocks overlapping
+   B's doc-range) < θ`` — ub(B) bounds the *total* score of every doc
+   in B, so no top-k doc is lost (proof: doc d ∈ B has all its query
+   postings in blocks overlapping B's range; each contribution ≤ the
+   per-term overlap max). For AND, a block whose range no block of
+   some other term overlaps is pruned outright (its docs cannot
+   satisfy the conjunction);
+4. scan the surviving blocks once (Spark mapInPandas varbyte decode,
+   vectorized), aggregate per doc, top-k.
+
+Exactness: any doc whose computed score ≥ θ has no pruned block
+(else its true score — and hence its computed partial — would be
+< θ), so its computed score is exact; and ≥ k seed docs score ≥ θ.
+Rank-identity with the unpruned plan is pinned by tests.
+
+Block intervals use exact integer arithmetic over the u32 = top-32-
+bits doc-hash space (build-side block_id = (u32·n_blocks) >> 32), so
+driver-side overlap checks cannot drift at boundaries.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hunt_spark.functions.varbyte import delta_varbyte_decode
+from hunt_spark.plans.ast import QBoost, QFullWord, QSeq
+
+U32_SPAN = 1 << 32
+
+
+@dataclass(frozen=True)
+class WandLeg:
+    word: str      # query word, original case (sim reference)
+    boost: float
+    op: str        # "case" | "nocase"
+
+    @property
+    def term_lc(self) -> str:
+        return self.word.lower()
+
+
+def compile_wand(q) -> tuple[str, list[WandLeg]] | None:
+    """Match the WAND-able query shapes: a flat AND/OR of exact words
+    (optionally boosted), or a single exact word. Returns None when the
+    query needs the general compiler (phrase/near/prefix/range/nested).
+    """
+    def leg(node, boost: float) -> WandLeg | None:
+        if isinstance(node, QBoost):
+            return leg(node.query, boost * float(node.weight))
+        if isinstance(node, QFullWord) and node.op in ("case", "nocase", "fuzzy"):
+            op = "case" if node.op == "case" else "nocase"
+            return WandLeg(node.word, boost, op)
+        return None
+
+    single = leg(q, 1.0)
+    if single is not None:
+        return ("or", [single])
+    if isinstance(q, QSeq) and q.op in ("and", "or"):
+        legs = [leg(n, 1.0) for n in q.legs]
+        if all(x is not None for x in legs):
+            # duplicate term_lc legs would need per-leg aggregation; bail
+            lcs = [x.term_lc for x in legs]
+            if len(set(lcs)) == len(lcs):
+                return (q.op, legs)
+    return None
+
+
+def _block_range(bid: int, nb: int) -> tuple[int, int]:
+    """Half-open u32 interval [lo, hi) of docs with (u32*nb)>>32 == bid."""
+    lo = -((-bid * U32_SPAN) // nb)          # ceil(bid * 2^32 / nb)
+    hi = -((-(bid + 1) * U32_SPAN) // nb)
+    return lo, hi
+
+
+class _TermBlocks:
+    """Sorted block ranges + maxima for one (context, term_lc)."""
+
+    def __init__(self, rows: list[dict]):
+        rows = sorted(rows, key=lambda r: r["block_id"])
+        self.bids = [r["block_id"] for r in rows]
+        self.nb = rows[0]["n_blocks"]
+        self.lo = [_block_range(r["block_id"], r["n_blocks"])[0] for r in rows]
+        self.hi = [_block_range(r["block_id"], r["n_blocks"])[1] for r in rows]
+        self.maxima = [r["max_bm25"] for r in rows]
+        self.n_postings = [r["n_postings"] for r in rows]
+
+    def overlap_max(self, lo: int, hi: int) -> float | None:
+        """max(max_bm25) over blocks overlapping [lo, hi), None if none."""
+        i = bisect_right(self.lo, lo) - 1
+        if i >= 0 and self.hi[i] <= lo:
+            i += 1
+        i = max(i, 0)
+        best = None
+        while i < len(self.lo) and self.lo[i] < hi:
+            if self.hi[i] > lo:
+                m = self.maxima[i]
+                best = m if best is None or m > best else best
+            i += 1
+        return best
+
+
+def _decode(
+    blocks: DataFrame, legs: list[WandLeg], keep: dict[str, set[int]]
+) -> DataFrame:
+    """Scan the kept (term_lc -> block_id set) blocks; emit per
+    (context, doc_id, term_lc) the similarity-weighted boosted BM25
+    contribution (max over case variants — mirrors compiler._scan)."""
+    conds = None
+    for t, bids in keep.items():
+        c = (F.col("term_lc") == t) & F.col("block_id").isin(sorted(bids))
+        conds = c if conds is None else (conds | c)
+    sel = blocks.filter(conds).select(
+        "context", "term_lc", "doc_ids_vb", "terms", "scores"
+    )
+    by_lc = {x.term_lc: x for x in legs}
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ctx_o, doc_o, lc_o, sc_o = [], [], [], []
+            for ctx, lc, vb, terms, scores in zip(
+                b["context"], b["term_lc"], b["doc_ids_vb"], b["terms"], b["scores"]
+            ):
+                leg = by_lc[lc]
+                ids = delta_varbyte_decode(bytes(vb))
+                tarr = np.asarray(terms, dtype=object)
+                s = np.asarray(scores, dtype=np.float64)
+                if leg.op == "case":
+                    m = tarr == leg.word
+                    ids, s = ids[m], s[m]  # sim == 1.0 on exact variant
+                else:
+                    # Keys.hs similar': equal -> 1.0, same length (always
+                    # true within a term_lc group) -> 0.75
+                    s = s * np.where(tarr == leg.word, 1.0, 0.75)
+                if len(ids) == 0:
+                    continue
+                s = s * leg.boost
+                ctx_o.extend([ctx] * len(ids))
+                doc_o.append(ids)
+                lc_o.extend([lc] * len(ids))
+                sc_o.append(s)
+            yield pd.DataFrame(
+                {
+                    "context": pd.Series(ctx_o, dtype=object),
+                    "doc_id": np.concatenate(doc_o) if doc_o else np.array([], dtype=np.int64),
+                    "term_lc": pd.Series(lc_o, dtype=object),
+                    "contrib": np.concatenate(sc_o) if sc_o else np.array([], dtype=np.float64),
+                }
+            )
+
+    return sel.mapInPandas(
+        go, schema="context string, doc_id long, term_lc string, contrib double"
+    )
+
+
+def _aggregate(decoded: DataFrame, op: str, n_legs: int) -> DataFrame:
+    """(context, doc_id, term_lc, contrib) -> (context, doc_id, score).
+    Per (doc, term) the max over case variants (compiler._scan), then
+    OR: sum of legs; AND: sum with presence of all legs required."""
+    per_term = decoded.groupBy("context", "doc_id", "term_lc").agg(
+        F.max("contrib").alias("contrib")
+    )
+    agg = per_term.groupBy("context", "doc_id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("_n")
+    )
+    if op == "and":
+        agg = agg.filter(F.col("_n") == n_legs)
+    return agg.select("context", "doc_id", "score")
+
+
+class WandExecutor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        blocks: DataFrame,
+        n_shards: int,
+        seed_factor: int = 4,
+    ):
+        self.spark = spark
+        self.blocks = blocks
+        self.n_shards = n_shards
+        self.seed_factor = seed_factor
+        self.last_stats: dict | None = None  # pruning observability
+
+    def _shards_for(self, terms: list[str]) -> list[int]:
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(F.pmod(F.xxhash64("t"), F.lit(self.n_shards)).cast("int").alias("s"))
+            .collect()
+        )
+        return sorted({r["s"] for r in rows})
+
+    def topk_candidates(
+        self, op: str, legs: list[WandLeg], k: int, contexts: tuple
+    ) -> DataFrame:
+        """Return (context, doc_id, score) containing every doc whose
+        score can reach the global top-k (exact scores)."""
+        terms = [x.term_lc for x in legs]
+        bl = self.blocks.filter(
+            F.col("context").isin(list(contexts))
+            & F.col("shard").isin(self._shards_for(terms))  # partition pruning
+            & F.col("term_lc").isin(terms)
+        )
+        stats = bl.select(
+            "context", "term_lc", "block_id", "n_blocks", "max_bm25", "n_postings"
+        ).collect()
+        empty = self.spark.createDataFrame(
+            [], "context string, doc_id long, score double"
+        )
+        if not stats:
+            return empty
+
+        boost = {x.term_lc: x.boost for x in legs}
+        # group stats per (context, term)
+        per_ct: dict[tuple[str, str], list[dict]] = {}
+        for r in stats:
+            per_ct.setdefault((r["context"], r["term_lc"]), []).append(r.asDict())
+        tb = {key: _TermBlocks(rows) for key, rows in per_ct.items()}
+
+        keep: dict[str, set[int]] = {}
+        n_total = n_kept = 0
+        cxs = sorted({c for c, _ in tb})
+        for cx in cxs:
+            cx_terms = [t for c, t in tb if c == cx]
+            if op == "and" and len(cx_terms) < len(legs):
+                continue  # some term absent in this context entirely
+
+            # --- seed θ: highest-ub blocks covering >= seed_factor*k postings
+            cand = []  # (ub, term, bid, n_postings)
+            for t in cx_terms:
+                tbk = tb[(cx, t)]
+                for j, bid in enumerate(tbk.bids):
+                    lo, hi = tbk.lo[j], tbk.hi[j]
+                    ub = 0.0
+                    dead = False
+                    for t2 in cx_terms:
+                        m = (
+                            tbk.maxima[j]
+                            if t2 == t
+                            else tb[(cx, t2)].overlap_max(lo, hi)
+                        )
+                        if m is None:
+                            if op == "and":
+                                dead = True
+                                break
+                            continue
+                        ub += boost[t2] * m
+                    if not dead:
+                        cand.append((ub, t, bid, tbk.n_postings[j]))
+            n_total += sum(len(tb[(cx, t)].bids) for t in cx_terms)
+            if not cand:
+                continue
+            cand.sort(key=lambda x: -x[0])
+
+            theta = float("-inf")
+            if op == "or" and len(cand) > 1:
+                seed, covered = [], 0
+                for ub, t, bid, np_ in cand:
+                    seed.append((t, bid))
+                    covered += np_
+                    if covered >= self.seed_factor * k:
+                        break
+                if len(seed) < len(cand):  # pruning possible at all
+                    seed_keep: dict[str, set[int]] = {}
+                    for t, bid in seed:
+                        seed_keep.setdefault(t, set()).add(bid)
+                    part = _aggregate(
+                        _decode(bl.filter(F.col("context") == cx), legs, seed_keep),
+                        "or",
+                        len(legs),
+                    )
+                    top = part.orderBy(F.desc("score")).limit(k).collect()
+                    if len(top) >= k:
+                        theta = top[-1]["score"]  # partial => lower bound
+
+            for ub, t, bid, _np in cand:
+                if ub >= theta:
+                    keep.setdefault(t, set()).add(bid)
+                    n_kept += 1
+
+        self.last_stats = {
+            "blocks_total": n_total,
+            "blocks_scanned": n_kept,
+            "pruned_frac": round(1 - n_kept / n_total, 4) if n_total else 0.0,
+        }
+        if not keep:
+            return empty
+        return _aggregate(_decode(bl, legs, keep), op, len(legs))

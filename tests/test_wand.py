@@ -1,0 +1,93 @@
+"""Block-max WAND executor: rank- and score-identity vs the full plan,
+plus evidence that pruning actually skips blocks (the whole point).
+
+Mirrors the reference's guarantee that its bounded-priority-queue top-k
+(hunt: Data/LimitedPriorityQueue.hs:43-101) returns exactly the global
+best k — here the pruned candidate set must reproduce the unpruned
+ranking bit-for-bit on doc ids and to 1e-9 on scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.plans.parser import parse_query
+from hunt_spark.plans.wand import compile_wand
+from hunt_spark.sources.corpus import corpus_df
+
+K = 10
+
+WAND_QUERIES = [
+    "'brain'",
+    "'the'",                      # hottest term, most blocks
+    "'brain' 'pinky'",            # AND
+    "'the' 'and' 'of'",           # hot-term AND
+    "'cat' OR 'dog'",
+    "'the' OR 'brain'",
+    "'brain'^2.5 OR 'pinky'",
+    "!'Brain'",                   # case-sensitive exact word
+    "'nosuchtermxyz'",            # empty result
+    "'nosuchtermxyz' OR 'brain'",
+]
+
+NON_WAND = ["bra", '"pinky and the brain"', "[ba TO bd]", "cat AND NOT dog"]
+
+
+@pytest.fixture(scope="module")
+def wand_engine(spark, tmp_path_factory):
+    """Single-context index with tiny blocks so pruning has teeth."""
+    root = str(tmp_path_factory.mktemp("wand_index"))
+    eng = HuntEngine(
+        spark, root, BuildConfig(n_shards=4, salt_buckets=2, block_size=64)
+    )
+    docs = corpus_df(spark, 400, partitions=4)
+    eng.build(docs, {"text": F.col("text")}, build_id="wand_test")
+    return eng
+
+
+def test_compile_wand_shapes():
+    assert compile_wand(parse_query("'a' 'b'"))[0] == "and"
+    assert compile_wand(parse_query("'a' OR 'b'"))[0] == "or"
+    op, legs = compile_wand(parse_query("'a'^3 OR 'b'"))
+    assert op == "or" and legs[0].boost == 3.0
+    for q in NON_WAND:
+        assert compile_wand(parse_query(q)) is None
+
+
+@pytest.mark.parametrize("q", WAND_QUERIES)
+def test_wand_matches_full_plan(wand_engine, q):
+    full = wand_engine.search(q, k=K, use_wand=False).collect()
+    pruned = wand_engine.search(q, k=K, use_wand=True).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    for a, b in zip(pruned, full):
+        assert math.isclose(a["score"], b["score"], rel_tol=0, abs_tol=1e-9)
+
+
+def test_wand_actually_prunes(wand_engine):
+    # k=1 on the hottest term: θ == the global best score, so every
+    # block whose max_bm25 is below the seed block's max is skipped.
+    # (At bench/cluster scale pruning bites at realistic k too — small
+    # corpora have near-uniform block maxima; see BENCH/BASELINE.md.)
+    full = wand_engine.search("'the'", k=1, use_wand=False).collect()
+    pruned = wand_engine.search("'the'", k=1, use_wand=True).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    st = wand_engine.wand().last_stats
+    assert st["blocks_total"] > 4
+    assert st["blocks_scanned"] < st["blocks_total"], st
+
+
+def test_wand_fallback_on_multi_context(engine):
+    # session engine has two contexts -> gate must route to the full plan
+    assert engine.wand() is None
+    res = engine.search("'brain' OR 'pinky'", k=K)  # auto falls back
+    assert res.columns == ["doc_id", "url", "score"]
+
+
+def test_wand_rejects_unshaped_when_forced(wand_engine):
+    with pytest.raises(ValueError):
+        wand_engine.search('"pinky and the brain"', k=K, use_wand=True)
