@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hunt_spark.engine import HuntEngine
+from hunt_spark.operators import multimodal as mm
 from hunt_spark.operators import textops
 from hunt_spark.operators.build import BuildConfig
 from hunt_spark.operators.similarity import cosine_topk, lsh_ann_topk
@@ -130,6 +131,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "emb_ann_lsh": lambda spark, sf_dir: lsh_ann_topk(
             _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5, dim=64
+        ),
+        # --- multimodal binary-payload plumbing (decode kernel stubbed;
+        # text bytes stand in for the opaque image/audio blob) ---
+        "mm_payload_meta": lambda spark, sf_dir: mm.payload_meta(
+            mm.attach_payload(_docs(spark, sf_dir))
+        ),
+        "mm_frame_sample": lambda spark, sf_dir: (
+            mm.frame_sample(
+                mm.attach_payload(_docs(spark, sf_dir)),
+                frame_bytes=64, every_n=4, max_frames=8,
+            ).select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+        ),
+        "mm_near_dup": lambda spark, sf_dir: (
+            mm.near_dup_by_features(
+                mm.decode_image(
+                    mm.attach_payload(_docs(spark, sf_dir)), dim=32, fake=True
+                ),
+                threshold=0.999,
+            ).select(
+                "doc_id_a", "doc_id_b",
+                F.round(F.col("cosine") * 10000).cast("long").alias("cosine_x1e4"),
+            )
+        ),
+        # --- query completion over an AND sequence (Hunt
+        # processQueryScoredWords, Processor.hs:311-366) ---
+        "cmp_query_and": lambda spark, sf_dir: (
+            _engine(spark, sf_dir)
+            .complete_query("'spark' ha", k=1_000_000)
+            .select(
+                "term",
+                F.round(F.col("score") * 10000).cast("long").alias("score_x1e4"),
+            )
+            .orderBy(F.desc("score_x1e4"), F.asc("term"))
+            .limit(10)
         ),
     }
 
@@ -333,4 +368,42 @@ def oracle_sql() -> dict[str, str]:
         # driver records rows-only check.
         "emb_cosine_topk": _COSINE_TOPK,
         # emb_ann_lsh: approximate by design — rows-only check.
+        "mm_payload_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5,
+                   CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+                   CAST((octet_length(encode(text)) // 1024) % 1024 AS INT) AS height
+            FROM documents
+        """,
+        # ASCII corpus => VARCHAR substring == byte slice of the UTF-8
+        # payload (DuckDB has no BLOB substring)
+        "mm_frame_sample": """
+            WITH d AS (SELECT doc_id, text AS p,
+                              octet_length(encode(text)) AS nb FROM documents)
+            SELECT doc_id, CAST(g.j AS INT) AS frame_idx,
+                   md5(substring(p, g.j * 64 + 1, 64)) AS frame_md5
+            FROM d, generate_series(0, 28, 4) g(j)
+            WHERE g.j < least(CAST(ceil(nb / 64.0) AS BIGINT), 32)
+        """,
+        # mm_near_dup: fake decode kernel (sha256 expansion) not SQL-
+        # expressible — rows-only check.
+        "cmp_query_and": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            docset AS (
+              SELECT DISTINCT doc_id FROM toks WHERE lower(term) = 'spark'
+            )
+            SELECT term,
+                   CAST(round(sum((CASE WHEN term = 'ha' THEN 1.0
+                                        WHEN length(term) = 2 THEN 0.75
+                                        ELSE 0.5 * 2.0 / length(term) END) * tf)
+                              * 10000) AS BIGINT) AS score_x1e4
+            FROM tf JOIN docset USING (doc_id)
+            WHERE lower(term) LIKE 'ha%'
+            GROUP BY term ORDER BY score_x1e4 DESC, term ASC LIMIT 10
+        """,
     }

@@ -77,6 +77,18 @@ def main() -> None:
             times.append(time.time() - t)
         queries[name] = round(statistics.median(times), 4)
 
+    # block-max WAND pruned path vs the full plan on the same queries
+    for name, q in {
+        "q_wand_and": "'spark' 'hash'",
+        "q_wand_or3": "'spark' OR 'hash' OR 'merge'",
+    }.items():
+        times = []
+        for _ in range(N_REPS):
+            t = time.time()
+            eng.search(q, k=10, use_wand=True).collect()
+            times.append(time.time() - t)
+        queries[name] = round(statistics.median(times), 4)
+
     # training-data operators (one timed pass each)
     for name, fn in {
         "op_dedup_ngram": lambda: textops.ngram_jaccard_pairs(docs, 0.8).count(),

@@ -122,7 +122,10 @@ class HuntEngine:
             ).first()
             if wrange["lo"] != wrange["hi"]:
                 return None
-            self._wand = WandExecutor(self.spark, blocks, self.cfg.n_shards)
+            st = self.compiler().stats
+            self._wand = WandExecutor(
+                self.spark, blocks, self.cfg.n_shards, st.n_docs, st.avg_dl
+            )
         return self._wand
 
     # ------------------------------------------------------------------
@@ -174,13 +177,19 @@ class HuntEngine:
         c = self.compiler()
         return c.eval(self._ast(query)).select("doc_id").distinct()
 
-    def completion(self, prefix: str, k: int = 10, contexts=None) -> DataFrame:
+    def completion(
+        self, prefix: str, k: int = 10, contexts=None, doc_filter: DataFrame | None = None
+    ) -> DataFrame:
         """Scored word suggestions: word score = sum over docs of
-        sim * tf (Intermediate.hs:479-484), top-k words."""
+        sim * tf (Intermediate.hs:479-484), top-k words. ``doc_filter``
+        (a doc_id frame) restricts to words occurring in those docs —
+        the filterByDocSet half of query completion."""
         c = self.compiler()
         cxs = tuple(contexts) if contexts else c.all_contexts
         p = c.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(F.col("term_lc").startswith(prefix.lower()))
+        if doc_filter is not None:
+            p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return (
             p.withColumn("sim", sim_col(prefix, F.col("term")))
             .filter(F.col("sim") > 0)
@@ -190,13 +199,53 @@ class HuntEngine:
             .limit(k)
         )
 
+    def complete_query(self, query: str, k: int = 10) -> DataFrame:
+        """Completion over a whole query being typed (Hunt
+        processQueryScoredWords, Processor.hs:311-366): for an AND
+        sequence, all-but-the-last legs are evaluated as an unscored
+        doc set (Select semantics), the last word runs as a prefix
+        scan filtered by that set (filterByDocSet,
+        Intermediate.hs:214-225), and surviving words are ranked by
+        sum(sim x tf)."""
+        from hunt_spark.plans.ast import QContext, QFullWord, QSeq, QWord
+
+        ast = self._ast(query)
+        cxs = None
+        if isinstance(ast, QContext):
+            cxs = list(ast.contexts)
+            ast = ast.query
+        if isinstance(ast, (QWord, QFullWord)):
+            return self.completion(ast.word, k=k, contexts=cxs)
+        if isinstance(ast, QSeq) and ast.op == "and":
+            last = ast.legs[-1]
+            if not isinstance(last, (QWord, QFullWord)):
+                raise ValueError("completion needs a word as the last leg")
+            head = (
+                ast.legs[0]
+                if len(ast.legs) == 2
+                else QSeq("and", tuple(ast.legs[:-1]))
+            )
+            if cxs is not None:
+                head = QContext(tuple(cxs), head)
+            doc_set = self.select(head)
+            return self.completion(last.word, k=k, contexts=cxs, doc_filter=doc_set)
+        raise ValueError(f"unsupported completion query shape: {query!r}")
+
     # ------------------------------------------------------------------
     # maintenance verbs (InsertList / DeleteDocs / DeleteByQuery /
     # Update — Interpreter.hs:323-368 dispatch)
     # ------------------------------------------------------------------
-    def insert(self, docs: DataFrame, context_cols: dict[str, Column]) -> None:
+    def insert(
+        self,
+        docs: DataFrame,
+        context_cols: dict[str, Column],
+        refresh_stats: bool = True,
+    ) -> None:
         """Incremental insert: append postings/doc_meta snapshots, then
-        recompute stats (Iceberg appends on a cluster)."""
+        recompute stats (Iceberg appends on a cluster). Streaming
+        micro-batches pass ``refresh_stats=False`` and refresh once per
+        trigger window (stats are global aggregates; per-batch refresh
+        would serialize the stream on two extra jobs per batch)."""
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
@@ -215,7 +264,10 @@ class HuntEngine:
         self.catalog.commit(
             docs.select(*meta_cols), "doc_meta", "insert/meta", mode="append"
         )
-        self._refresh_stats()
+        if refresh_stats:
+            self._refresh_stats()
+        else:
+            self._invalidate()
 
     def delete_docs(self, urls: list[str]) -> None:
         t = self.spark.createDataFrame([(u,) for u in urls], "url string").select(

@@ -158,20 +158,45 @@ def tf_norm_col(tf: Column, dl: Column, avg_dl: Column) -> Column:
     )
 
 
+BLOCKS_SCHEMA = (
+    "context string, shard int, term_lc string, block_id int, "
+    "n_postings long, max_bm25 double, df long, n_blocks long, "
+    "doc_ids_vb binary, variants array<string>, tfs array<int>, "
+    "dls array<int>"
+)
+
+
 def build_blocks(
     spark: SparkSession, postings: DataFrame, tstats: DataFrame,
     cstats: DataFrame, cfg: BuildConfig,
 ) -> DataFrame:
     """Compressed grouped artifact + block-max metadata.
 
-    Two-phase bounded grouping: join per-term df (sort-merge on
-    (context, term_lc) — a one-time build cost), derive
-    n_blocks = ceil(df / block_size), assign each posting to a doc_id
-    *range* block (doc ids are xxhash64 => uniform over int64, so equal
-    ranges balance), then groupBy(context, term_lc, block_id) with a
-    guaranteed <= ~block_size group size. No window functions, no
-    unbounded collect_list.
+    Two-phase bounded grouping: join per-term df, derive n_blocks =
+    ceil(df / block_size), assign each posting to a doc-hash *range*
+    block (xxhash64 ids are uniform, so equal ranges balance), then
+    repartition to the (context, shard) write layout, sort within
+    partitions by (context, term_lc, block_id, doc_id) and pack each
+    contiguous group in one streaming Arrow pass. No collect_list (no
+    executor-side buffering of whole groups through the aggregator), no
+    per-entry Python objects — groups are numpy slices of the sorted
+    batch. A carry buffer stitches groups split across Arrow batches;
+    it is bounded by one group (<= ~block_size postings).
+
+    Storage contract per block: delta+varbyte doc ids; tf + dl int32
+    arrays (parquet-friendly small ints); ``variants`` holds the
+    original-case term ONLY where it differs from term_lc (null
+    otherwise — RLE collapses it), letting the decoder reproduce Hunt's
+    similarity weighting (Keys.hs:42-54) without storing 40M strings.
+    BM25 contributions are recomputed at decode time from (tf, dl, df)
+    + collection stats with the same IEEE double expression the full
+    plan uses. max_bm25 is the block-max upper bound for WAND pruning.
     """
+    c_rows = cstats.collect()
+    n_docs_by_cx = {r["context"]: float(r["n_docs"]) for r in c_rows}
+    avg_dl_by_cx = {r["context"]: float(r["avg_dl"]) for r in c_rows}
+    block_size = cfg.block_size
+
     n_blocks = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(cfg.block_size))
     ).cast("long")
@@ -183,54 +208,93 @@ def build_blocks(
     u32 = F.shiftrightunsigned(F.col("doc_id"), 32).bitwiseXOR(F.lit(0x80000000))
     block_id = F.shiftright(u32 * F.col("n_blocks"), 32).cast("int")
 
-    joined = (
-        postings.join(tstats, ["context", "term_lc"])
-        .join(F.broadcast(cstats), "context")
+    pre = (
+        postings.join(tstats.select("context", "term_lc", "df"),
+                      ["context", "term_lc"])
         .withColumn("n_blocks", n_blocks)
         .withColumn("block_id", block_id)
-        .withColumn(
-            "tf_norm", tf_norm_col(F.col("tf"), F.col("dl"), F.col("avg_dl"))
+        .select(
+            "context", "shard", "term_lc", "block_id", "doc_id", "term",
+            "tf", "dl", "df", "n_blocks",
         )
-        .withColumn("idf", idf_col(F.col("df"), F.col("n_docs")))
-        .withColumn("bm25", F.col("idf") * F.col("tf_norm"))
-    )
-    # entries keep the original-case term variant so the decoder can
-    # apply Hunt's word-similarity weight exactly (Keys.hs:42-54)
-    grouped = joined.groupBy("context", "shard", "term_lc", "block_id").agg(
-        F.count("*").alias("n_postings"),
-        F.sort_array(
-            F.collect_list(F.struct("doc_id", "term", "tf", "bm25"))
-        ).alias("plist"),
-        F.max("bm25").alias("max_bm25"),
-        F.first("df").alias("df"),
-        F.first("n_blocks").alias("n_blocks"),
+        .repartition("context", "shard")
+        .sortWithinPartitions("context", "term_lc", "block_id", "doc_id")
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            packed, terms, tfs, scores = [], [], [], []
-            for plist in b["plist"]:
-                ids = np.array([p["doc_id"] for p in plist], dtype=np.int64)
-                packed.append(delta_varbyte_encode(ids))  # pre-sorted by doc_id
-                terms.append([p["term"] for p in plist])
-                tfs.append(np.array([p["tf"] for p in plist], dtype=np.int32))
-                scores.append(np.array([p["bm25"] for p in plist], dtype=np.float64))
-            o = b.drop(columns=["plist"]).copy()
-            o["doc_ids_vb"] = packed
-            o["terms"] = terms
-            o["tfs"] = tfs
-            o["scores"] = scores
-            yield o
+        carry: pd.DataFrame | None = None
 
-    return grouped.mapInPandas(
-        pack,
-        schema=(
-            "context string, shard int, term_lc string, block_id int, "
-            "n_postings long, max_bm25 double, df long, n_blocks long, "
-            "doc_ids_vb binary, terms array<string>, tfs array<int>, "
-            "scores array<double>"
-        ),
-    )
+        def emit(b: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [] for k in (
+                "context", "shard", "term_lc", "block_id", "n_postings",
+                "max_bm25", "df", "n_blocks", "doc_ids_vb", "variants",
+                "tfs", "dls",
+            )}
+            cx_a = b["context"].to_numpy()
+            lc_a = b["term_lc"].to_numpy()
+            bid_a = b["block_id"].to_numpy()
+            # contiguous group boundaries over the sorted frame
+            brk = np.flatnonzero(
+                (cx_a[1:] != cx_a[:-1])
+                | (lc_a[1:] != lc_a[:-1])
+                | (bid_a[1:] != bid_a[:-1])
+            )
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk + 1, [len(b)]))
+            ids_a = b["doc_id"].to_numpy()
+            term_a = b["term"].to_numpy()
+            tf_a = b["tf"].to_numpy().astype(np.int32)
+            dl_a = b["dl"].to_numpy().astype(np.int32)
+            df_a = b["df"].to_numpy()
+            nb_a = b["n_blocks"].to_numpy()
+            sh_a = b["shard"].to_numpy()
+            for i0, i1 in zip(starts, ends):
+                cx = cx_a[i0]
+                n_d, a_dl = n_docs_by_cx[cx], avg_dl_by_cx[cx]
+                tf = tf_a[i0:i1].astype(np.float64)
+                dl = dl_a[i0:i1].astype(np.float64)
+                df_v = float(df_a[i0])
+                # identical expression shape to idf_col/tf_norm_col
+                idf = np.log(1.0 + (n_d - df_v + 0.5) / (df_v + 0.5))
+                tfn = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / a_dl)
+                )
+                variants = term_a[i0:i1].astype(object)
+                variants[variants == lc_a[i0]] = None
+                out["context"].append(cx)
+                out["shard"].append(sh_a[i0])
+                out["term_lc"].append(lc_a[i0])
+                out["block_id"].append(bid_a[i0])
+                out["n_postings"].append(i1 - i0)
+                out["max_bm25"].append(float(idf * tfn.max()))
+                out["df"].append(df_a[i0])
+                out["n_blocks"].append(nb_a[i0])
+                out["doc_ids_vb"].append(delta_varbyte_encode(ids_a[i0:i1]))
+                out["variants"].append(variants)
+                out["tfs"].append(tf_a[i0:i1])
+                out["dls"].append(dl_a[i0:i1])
+            return pd.DataFrame(out)
+
+        for b in batches:
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            if len(b) == 0:
+                continue
+            # hold back the (possibly incomplete) trailing group
+            last = (
+                (b["context"] == b["context"].iloc[-1])
+                & (b["term_lc"] == b["term_lc"].iloc[-1])
+                & (b["block_id"] == b["block_id"].iloc[-1])
+            )
+            cut = int(len(b) - last[::-1].cummin().sum())
+            carry = b.iloc[cut:].reset_index(drop=True)
+            if cut:
+                yield emit(b.iloc[:cut])
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return pre.mapInPandas(pack, schema=BLOCKS_SCHEMA)
 
 
 def build_index(

@@ -1,0 +1,204 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas`` kernels.
+
+A 100 TB training-data pipeline carries images/audio/video as binary
+columns next to text. The *Spark-side* contract — schema, partitioning,
+UDF signatures, bounded batch shapes — is real and tested here; the
+codec step itself is STUBBED (this container has no image/audio libs):
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic, seedable kernel so
+the distributed plumbing can be exercised end-to-end and checked
+against an oracle.
+
+Design notes for scale:
+- every kernel is ``mapInPandas`` (Arrow batches, vectorized numpy) —
+  no per-row Python, no driver collect;
+- outputs carry the input's join key (``doc_id``) so downstream stages
+  can re-join without re-reading payloads;
+- frame sampling explodes rows map-side (no shuffle) and caps frames
+  per doc, so one pathological video cannot blow a task;
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+  (binary payloads can be MBs each; see session.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "doc_id long, n_bytes long, payload_md5 string, width int, height int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame bytes".replace("bytes", "binary")
+FEAT_SCHEMA = "doc_id long, features array<float>"
+
+
+def attach_payload(df: DataFrame, source_col: str = "text") -> DataFrame:
+    """Test/bench helper: wrap a string column as the opaque binary
+    payload column ``payload`` (stand-in for a real image/audio blob)."""
+    return df.withColumn("payload", F.encode(F.col(source_col), "UTF-8"))
+
+
+def payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata for an opaque payload column.
+
+    Pure JVM-side expressions (no Python): byte length, content hash,
+    and the (stubbed) container header fields — width/height derived
+    deterministically from the length so an ANSI-SQL oracle can verify
+    the full distributed pipeline.
+    """
+    n = F.octet_length(F.col(payload_col))
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("payload_md5"),
+        F.pmod(n, F.lit(1024)).cast("int").alias("width"),
+        F.pmod(F.floor(n / F.lit(1024)), F.lit(1024)).cast("int").alias("height"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+embedder: expand the
+    payload digest into `dim` floats in [-1, 1). Stable across
+    partitionings and runs."""
+    h = hashlib.sha256(payload).digest()
+    reps = (dim * 4) // len(h) + 1
+    buf = (h * reps)[: dim * 4]
+    raw = np.frombuffer(buf, dtype=np.uint32).astype(np.float64)
+    return (raw / 2**31 - 1.0).astype(np.float32)
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """payload -> feature vector (array<float>), Arrow-batched.
+
+    Real codecs (PIL/libvips + a vision encoder) are not available in
+    this environment; ``fake=True`` swaps in ``_fake_features`` so the
+    batch shape, schema and partition behavior are still exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic test kernel"
+        )
+
+    sel = df.select("doc_id", payload_col)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                _fake_features(bytes(p), dim) if p is not None else None
+                for p in b[payload_col]
+            ]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "features": feats})
+
+    return sel.mapInPandas(go, schema=FEAT_SCHEMA)
+
+
+decode_audio = decode_image  # same plumbing; real kernels would differ
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    max_frames: int = 64,
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame of each payload
+    (the video-keyframe pattern), map-side, capped per doc.
+
+    With a real container format the frame boundaries come from the
+    demuxer; the fixed-stride split is the stub. The explode happens
+    inside the Arrow kernel — no shuffle, no driver involvement.
+    """
+    sel = df.select("doc_id", payload_col)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            doc_o, idx_o, fr_o = [], [], []
+            for doc_id, p in zip(b["doc_id"], b[payload_col]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                n_frames = min((len(p) + frame_bytes - 1) // frame_bytes,
+                               max_frames * every_n)
+                for j in range(0, n_frames, every_n):
+                    doc_o.append(doc_id)
+                    idx_o.append(j)
+                    fr_o.append(p[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_o, dtype="int64"),
+                    "frame_idx": pd.Series(idx_o, dtype="int32"),
+                    "frame": fr_o,
+                }
+            )
+
+    return sel.mapInPandas(go, schema=FRAME_SCHEMA)
+
+
+def near_dup_by_features(
+    feats: DataFrame, threshold: float = 0.95, n_bands: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup over decoded features: sign-random-
+    projection LSH bucketing (cheap candidate generation, one shuffle)
+    then exact cosine on candidates — the scale path for pairwise
+    similarity that a cross join cannot survive.
+
+    feats: (doc_id, features array<float>).
+    Returns (doc_id_a, doc_id_b, cosine) with doc_id_a < doc_id_b.
+    """
+    dim_row = feats.select(F.size("features").alias("d")).first()
+    if dim_row is None:
+        return feats.sparkSession.createDataFrame(
+            [], "doc_id_a long, doc_id_b long, cosine double"
+        )
+    dim = dim_row["d"]
+    rng = np.random.Generator(np.random.Philox(key=[7, dim]))
+    planes = rng.normal(size=(n_bands, dim)).astype(np.float64)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in b["features"]])
+            bits = (m @ planes.T) > 0
+            band = bits.astype(np.int64) @ (1 << np.arange(n_bands, dtype=np.int64))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "band": band, "features": b["features"]}
+            )
+
+    sigs = feats.mapInPandas(
+        sig, schema="doc_id long, band long, features array<float>"
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.features", "b.features", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.features", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.dropDuplicates(["doc_id_a", "doc_id_b"])

@@ -235,7 +235,7 @@ class OracleIndex:
         )
         return ranked[offset : offset + k]
 
-    def completion(self, prefix, k=10, contexts=None):
+    def completion(self, prefix, k=10, contexts=None, doc_filter=None):
         cxs = contexts or self.contexts
         scores = defaultdict(float)
         for cx in cxs:
@@ -243,6 +243,28 @@ class OracleIndex:
                 s_term = sim(prefix, t)
                 if s_term <= 0:
                     continue
-                for poss in self.postings[(cx, t)].values():
+                for doc_id, poss in self.postings[(cx, t)].items():
+                    if doc_filter is not None and doc_id not in doc_filter:
+                        continue
                     scores[t] += s_term * len(poss)
         return sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:k]
+
+    def complete_query(self, query, k=10):
+        """Hunt processQueryScoredWords (Processor.hs:311-366): AND
+        head as unscored doc set, last word as filtered prefix scan."""
+        ast = parse_query(query) if isinstance(query, str) else query
+        cxs = None
+        if isinstance(ast, QContext):
+            cxs = list(ast.contexts)
+            ast = ast.query
+        if isinstance(ast, (QWord, QFullWord)):
+            return self.completion(ast.word, k=k, contexts=cxs)
+        assert isinstance(ast, QSeq) and ast.op == "and"
+        last = ast.legs[-1]
+        head = (
+            ast.legs[0] if len(ast.legs) == 2 else QSeq("and", tuple(ast.legs[:-1]))
+        )
+        doc_set = {
+            doc_id for (_cx, doc_id) in self.eval(head, cxs and tuple(cxs)).keys()
+        }
+        return self.completion(last.word, k=k, contexts=cxs, doc_filter=doc_set)

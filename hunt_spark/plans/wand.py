@@ -125,37 +125,57 @@ class _TermBlocks:
 
 
 def _decode(
-    blocks: DataFrame, legs: list[WandLeg], keep: dict[str, set[int]]
+    blocks: DataFrame,
+    legs: list[WandLeg],
+    keep: dict[str, set[int]],
+    n_docs: dict[str, float],
+    avg_dl: dict[str, float],
 ) -> DataFrame:
     """Scan the kept (term_lc -> block_id set) blocks; emit per
     (context, doc_id, term_lc) the similarity-weighted boosted BM25
-    contribution (max over case variants — mirrors compiler._scan)."""
+    contribution (max over case variants — mirrors compiler._scan).
+
+    Scores are recomputed from the stored (tf, dl, df) with the same
+    IEEE double expression shape as idf_col/tf_norm_col, so the pruned
+    path reproduces the full plan's arithmetic."""
+    from hunt_spark.operators.build import BM25_B, BM25_K1
+
     conds = None
     for t, bids in keep.items():
         c = (F.col("term_lc") == t) & F.col("block_id").isin(sorted(bids))
         conds = c if conds is None else (conds | c)
     sel = blocks.filter(conds).select(
-        "context", "term_lc", "doc_ids_vb", "terms", "scores"
+        "context", "term_lc", "df", "doc_ids_vb", "variants", "tfs", "dls"
     )
     by_lc = {x.term_lc: x for x in legs}
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ctx_o, doc_o, lc_o, sc_o = [], [], [], []
-            for ctx, lc, vb, terms, scores in zip(
-                b["context"], b["term_lc"], b["doc_ids_vb"], b["terms"], b["scores"]
+            for ctx, lc, df_v, vb, variants, tfs, dls in zip(
+                b["context"], b["term_lc"], b["df"], b["doc_ids_vb"],
+                b["variants"], b["tfs"], b["dls"],
             ):
                 leg = by_lc[lc]
                 ids = delta_varbyte_decode(bytes(vb))
-                tarr = np.asarray(terms, dtype=object)
-                s = np.asarray(scores, dtype=np.float64)
+                tf = np.asarray(tfs, dtype=np.float64)
+                dl = np.asarray(dls, dtype=np.float64)
+                n_d, a_dl = n_docs[ctx], avg_dl[ctx]
+                idf = np.log(1.0 + (n_d - float(df_v) + 0.5) / (float(df_v) + 0.5))
+                s = idf * (
+                    (tf * (BM25_K1 + 1.0))
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / a_dl))
+                )
+                # resolve original-case variants (null == lowercase term)
+                varr = np.asarray(variants, dtype=object)
+                varr[pd.isna(varr)] = lc
                 if leg.op == "case":
-                    m = tarr == leg.word
+                    m = varr == leg.word
                     ids, s = ids[m], s[m]  # sim == 1.0 on exact variant
                 else:
                     # Keys.hs similar': equal -> 1.0, same length (always
                     # true within a term_lc group) -> 0.75
-                    s = s * np.where(tarr == leg.word, 1.0, 0.75)
+                    s = s * np.where(varr == leg.word, 1.0, 0.75)
                 if len(ids) == 0:
                     continue
                 s = s * leg.boost
@@ -198,11 +218,15 @@ class WandExecutor:
         spark: SparkSession,
         blocks: DataFrame,
         n_shards: int,
+        n_docs: dict[str, float],
+        avg_dl: dict[str, float],
         seed_factor: int = 4,
     ):
         self.spark = spark
         self.blocks = blocks
         self.n_shards = n_shards
+        self.n_docs = {k: float(v) for k, v in n_docs.items()}
+        self.avg_dl = {k: float(v) for k, v in avg_dl.items()}
         self.seed_factor = seed_factor
         self.last_stats: dict | None = None  # pruning observability
 
@@ -289,7 +313,10 @@ class WandExecutor:
                     for t, bid in seed:
                         seed_keep.setdefault(t, set()).add(bid)
                     part = _aggregate(
-                        _decode(bl.filter(F.col("context") == cx), legs, seed_keep),
+                        _decode(
+                            bl.filter(F.col("context") == cx), legs, seed_keep,
+                            self.n_docs, self.avg_dl,
+                        ),
                         "or",
                         len(legs),
                     )
@@ -297,8 +324,11 @@ class WandExecutor:
                     if len(top) >= k:
                         theta = top[-1]["score"]  # partial => lower bound
 
+            # 1e-9 slack: block maxima are numpy doubles, full-plan
+            # scores JVM doubles — ulp-level drift must never prune a
+            # true top-k block
             for ub, t, bid, _np in cand:
-                if ub >= theta:
+                if ub >= theta - 1e-9:
                     keep.setdefault(t, set()).add(bid)
                     n_kept += 1
 
@@ -309,4 +339,6 @@ class WandExecutor:
         }
         if not keep:
             return empty
-        return _aggregate(_decode(bl, legs, keep), op, len(legs))
+        return _aggregate(
+            _decode(bl, legs, keep, self.n_docs, self.avg_dl), op, len(legs)
+        )

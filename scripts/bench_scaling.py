@@ -1,0 +1,169 @@
+"""N-vs-4N scaling benchmark (the north rule's two-cluster-size
+criterion, sandbox adaptation per BASELINE.md §3): run the identical
+spark-submit --py-files index-build job at local[N] and local[4N] on
+the same materialized corpus, report docs/sec at both plus
+scaling efficiency = (T_N / T_4N) / 4, and write BENCH/BASELINE.md.
+
+    python scripts/bench_scaling.py [--n-docs 200000] [--n 8] \
+        [--corpus /tmp/hunt_corpus] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+import pyspark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def make_zip(dest: str) -> str:
+    """Package hunt_spark for --py-files (the deployment artifact)."""
+    zpath = os.path.join(dest, "hunt_spark.zip")
+    src = os.path.join(REPO, "hunt_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(src):
+            for fn in files:
+                if fn.endswith(".py"):
+                    fp = os.path.join(dirpath, fn)
+                    z.write(fp, os.path.relpath(fp, REPO))
+    return zpath
+
+
+def run_job(
+    zpath: str, corpus: str, cores: int, queries: bool, from_html: bool = False
+) -> dict:
+    out_dir = tempfile.mkdtemp(prefix=f"hunt_scale_{cores}_")
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts", "build_index_job.py"),
+        "--input", corpus,
+        "--out", out_dir,
+        "--cores", str(cores),
+    ]
+    if queries:
+        cmd.append("--queries")
+    if from_html:
+        cmd.append("--from-html")
+    print(f"+ local[{cores}] spark-submit ...", flush=True)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    metrics = None
+    for line in r.stdout.splitlines():
+        if line.startswith("METRICS "):
+            metrics = json.loads(line[len("METRICS "):])
+    if metrics is None:
+        sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-3000:] + "\n")
+        raise RuntimeError(f"job at local[{cores}] produced no METRICS line")
+    # lineage summary from the fresh catalog (posting counts / bytes)
+    lineage = {}
+    man = os.path.join(out_dir, "_snapshots.jsonl")
+    if os.path.exists(man):
+        with open(man) as f:
+            for line in f:
+                e = json.loads(line)
+                parts = e.get("lineage", [])
+                lineage[e["table"]] = {
+                    "partitions": len(parts),
+                    "rows": sum(p["rows"] for p in parts),
+                    "bytes": sum(p["bytes"] for p in parts),
+                }
+    metrics["lineage"] = lineage
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--n", type=int, default=8, help="small cluster size N")
+    ap.add_argument("--corpus", default="/tmp/hunt_bench_corpus")
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--from-html", action="store_true")
+    ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    if not args.skip_gen or not os.path.exists(args.corpus):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "make_corpus.py"),
+             "--n", str(args.n_docs), "--out", args.corpus],
+            check=True, cwd=REPO,
+        )
+
+    zdir = tempfile.mkdtemp(prefix="hunt_dist_")
+    zpath = make_zip(zdir)
+
+    n, n4 = args.n, 4 * args.n
+    m_n = run_job(zpath, args.corpus, n, queries=True, from_html=args.from_html)
+    m_4n = run_job(zpath, args.corpus, n4, queries=True, from_html=args.from_html)
+    eff = (m_n["build_sec"] / m_4n["build_sec"]) / 4
+
+    result = {"N": m_n, "4N": m_4n, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    lin = m_4n.get("lineage", {})
+    lines = [
+        "# BENCH/BASELINE — build throughput + query latency, N vs 4N",
+        "",
+        "Protocol (BASELINE.md §3): identical `spark-submit --py-files "
+        "hunt_spark.zip scripts/build_index_job.py` runs on the same "
+        f"materialized corpus ({m_n['n_docs']:,} synthetic Common-Crawl-style "
+        "docs, FIXTURES.md §1), differing only in `--master local[N]`; "
+        "shuffle partitions scale 2x cores. Fresh JVM per run."
+        + (
+            " Build includes the vectorized Arrow-UDF html->text "
+            "extraction stage (the byte-identical extraction contract)."
+            if args.from_html
+            else ""
+        ),
+        "",
+        "| phase | cores | wall s | docs/sec | query p50 s | query p95 s |",
+        "|---|---|---|---|---|---|",
+        f"| build+query | {n} | {m_n['build_sec']} | {m_n['docs_per_sec']} | "
+        f"{m_n.get('query_p50_sec', '-')} | {m_n.get('query_p95_sec', '-')} |",
+        f"| build+query | {n4} | {m_4n['build_sec']} | {m_4n['docs_per_sec']} | "
+        f"{m_4n.get('query_p50_sec', '-')} | {m_4n.get('query_p95_sec', '-')} |",
+        "",
+        f"**Scaling efficiency (build, N={n} -> 4N={n4}):** "
+        f"`(T_N / T_4N) / 4 = {result['scaling_efficiency']}` "
+        f"(target >= 0.8 per BASELINE.json).",
+        "",
+        "Per-query median latency (s):",
+        "",
+        "| query | local[%d] | local[%d] |" % (n, n4),
+        "|---|---|---|",
+    ]
+    for q in m_n.get("query_median_sec", {}):
+        lines.append(
+            f"| {q} | {m_n['query_median_sec'][q]} | "
+            f"{m_4n['query_median_sec'][q]} |"
+        )
+    lines += [
+        "",
+        "Index artifact lineage at 4N (from the snapshot manifest's "
+        "per-partition metrics ledger):",
+        "",
+        "| table | partitions | rows | bytes |",
+        "|---|---|---|---|",
+    ]
+    for t, s in sorted(lin.items()):
+        lines.append(f"| {t} | {s['partitions']} | {s['rows']:,} | {s['bytes']:,} |")
+    lines.append("")
+    with open(args.out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out_md}")
+
+
+if __name__ == "__main__":
+    main()

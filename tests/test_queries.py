@@ -59,6 +59,24 @@ def test_completion_rank_identity(engine, oracle):
         assert math.isclose(g[1], w[1], abs_tol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "q",
+    ["pinky bra", "'the' AND pinky AND bra", "title:bra"],
+    ids=["and2", "and3", "context"],
+)
+def test_query_completion_rank_identity(engine, oracle, q):
+    # Hunt processQueryScoredWords: AND head as doc-set filter on the
+    # last leg's prefix expansion (Processor.hs:311-366)
+    got = [
+        (r["term"], r["score"])
+        for r in engine.complete_query(q, k=10).collect()
+    ]
+    want = oracle.complete_query(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], (got, want)
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], abs_tol=1e-6)
+
+
 def test_case_sensitive_excludes_lowercase(engine, oracle):
     # only the planted doc 1 contains capital "Brain"
     got, want = run_both(engine, oracle, "!Brain")
