@@ -293,7 +293,12 @@ class HuntEngine:
 
     def compact(self) -> None:
         """Rewrite postings minus tombstones as a fresh base snapshot
-        (Hunt segment merge; Iceberg rewrite_data_files)."""
+        (Hunt segment merge; Iceberg rewrite_data_files), refresh stats
+        and rebuild the blocks artifact — once tombstones are consumed
+        the WAND gate reopens, so blocks must reflect the compacted
+        postings (doc set AND baked df/idf)."""
+        from hunt_spark.operators.build import build_blocks
+
         p = self._postings()
         self.catalog.commit(
             p, "postings", "compact/postings",
@@ -304,6 +309,25 @@ class HuntEngine:
         # tombstones consumed
         empty = self.spark.createDataFrame([], "doc_id long")
         self.catalog.commit(empty, "tombstones", "compact/tombstones")
+        self._invalidate()
+        p2 = self.catalog.read(self.spark, "postings")
+        self.catalog.commit(context_stats(p2), "context_stats", "compact/context_stats")
+        self.catalog.commit(
+            term_stats(p2), "term_stats", "compact/term_stats",
+            sort_within_by=["context", "term_lc"],
+        )
+        if self.cfg.build_blocks:
+            blocks = build_blocks(
+                self.spark, p2,
+                self.catalog.read(self.spark, "term_stats"),
+                self.catalog.read(self.spark, "context_stats"),
+                self.cfg,
+            )
+            self.catalog.commit(
+                blocks, "blocks", "compact/blocks",
+                partition_by=["context", "shard"],
+                sort_within_by=["term_lc", "block_id"],
+            )
         self._invalidate()
 
     def status(self) -> dict:

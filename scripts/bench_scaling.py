@@ -41,11 +41,40 @@ def make_zip(dest: str) -> str:
 def run_job(
     zpath: str, corpus: str, cores: int, queries: bool, from_html: bool = False
 ) -> dict:
-    out_dir = tempfile.mkdtemp(prefix=f"hunt_scale_{cores}_")
-    cmd = [
+    # Cluster-resource emulation on one box (the sandbox adaptation of
+    # N vs 4N executors — each fix is something a real cluster gives
+    # every executor natively):
+    # - taskset CPU pinning: local[N] bounds JVM task slots, NOT the
+    #   Python workers' CPU — unpinned, an "8-core" run's pandas UDF
+    #   workers spill onto the other 24 cores and fake a fast T_N. A
+    #   real executor is cgroup-capped; taskset reproduces that.
+    # - per-core-constant memory: 4N executors have 4x total memory; a
+    #   fixed heap starves the 4N run to 1/4 per-task memory and
+    #   measures spill, not scaling;
+    # - tmpfs shuffle + output dirs: executors have their own local
+    #   disks; this VM has ONE virtio disk, and 32 concurrent shuffle
+    #   writers serialize on it (measured: the blocks stage took 40s at
+    #   8 cores but 75s at 32 on /tmp);
+    # - python worker reuse off: long-lived workers grown by the
+    #   tokenize stage degrade later Arrow stages (measured blocks
+    #   40s -> 103s); fresh workers per task cost ~50ms each here.
+    shm_ok = os.path.isdir("/dev/shm")
+    scratch = tempfile.mkdtemp(
+        prefix=f"hunt_scale_{cores}_", dir="/dev/shm" if shm_ok else None
+    )
+    out_dir = os.path.join(scratch, "idx")
+    local_dir = os.path.join(scratch, "spark_local")
+    pin = (
+        ["taskset", "-c", f"0-{cores - 1}"]
+        if shutil.which("taskset") and cores <= (os.cpu_count() or cores)
+        else []
+    )
+    cmd = pin + [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
-        "--driver-memory", "16g",
+        "--driver-memory", f"{max(4, cores)}g",
+        "--conf", f"spark.local.dir={local_dir}",
+        "--conf", "spark.python.worker.reuse=false",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "build_index_job.py"),
         "--input", corpus,
@@ -79,7 +108,7 @@ def run_job(
                     "bytes": sum(p["bytes"] for p in parts),
                 }
     metrics["lineage"] = lineage
-    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
     return metrics
 
 

@@ -1,0 +1,114 @@
+"""Snapshot catalog semantics: stage-keyed resume, pinned reads
+(VERSION AS OF), lineage metrics, tombstone/compact lifecycle —
+the Spark analogue of Hunt's gen_N generations + RevSpec pinning
+(Hunt/SegmentIndex.hs:94-113, Open.hs:80-108)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.sources.catalog import IndexCatalog
+from hunt_spark.sources.corpus import corpus_df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return corpus_df(spark, 200, partitions=4)
+
+
+def test_rerun_same_build_id_skips_all_stages(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_full"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    cxs = {"text": F.col("text")}
+    first = eng.build(docs, cxs, build_id="b1")
+    n_snaps = len(eng.catalog.snapshots())
+    second = eng.build(docs, cxs, build_id="b1")
+    # no new snapshots; every stage returned the committed entry
+    assert len(eng.catalog.snapshots()) == n_snaps
+    for stage, entry in second.items():
+        assert entry["snapshot_id"] == first[stage]["snapshot_id"], stage
+
+
+def test_interrupted_build_resumes_midway(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_partial"))
+    cxs = {"text": F.col("text")}
+    # phase 1: crash before the blocks stage (simulated by a config
+    # that stops after stats)
+    eng1 = HuntEngine(
+        spark, root, BuildConfig(n_shards=4, salt_buckets=2, build_blocks=False)
+    )
+    partial = eng1.build(docs, cxs, build_id="b2")
+    assert "blocks" not in partial
+    postings_snap = partial["postings"]["snapshot_id"]
+    # phase 2: restart with the full config and the same build id
+    eng2 = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    full = eng2.build(docs, cxs, build_id="b2")
+    assert full["postings"]["snapshot_id"] == postings_snap  # not rebuilt
+    assert "blocks" in full
+    assert eng2.search("brain", k=5).count() > 0
+
+
+def test_new_build_id_rebuilds(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_newid"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    cxs = {"text": F.col("text")}
+    a = eng.build(docs, cxs, build_id="in1")
+    b = eng.build(docs, cxs, build_id="in2")
+    assert a["postings"]["snapshot_id"] != b["postings"]["snapshot_id"]
+
+
+def test_pinned_snapshot_read(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pinned"))
+    cat = IndexCatalog(root)
+    d1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    d2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    e1 = cat.commit(d1, "t", "s1")
+    cat.commit(d2, "t", "s2")
+    assert [r["v"] for r in cat.read(spark, "t").collect()] == ["b"]
+    pinned = cat.read(spark, "t", pinned_snapshot=e1["snapshot_id"])
+    assert [r["v"] for r in pinned.collect()] == ["a"]
+
+
+def test_lineage_metrics_recorded(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lineage"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    eng.build(docs, {"text": F.col("text")}, build_id="lin")
+    for e in eng.catalog.snapshots("postings"):
+        assert e["wall_ms"] >= 0
+        parts = e["lineage"]
+        assert len(parts) >= 1
+        assert sum(p["rows"] for p in parts) > 0
+        assert all(p["bytes"] > 0 for p in parts)
+        # partitioned layout: per-(context, shard) directories
+        assert any("shard=" in p["partition"] for p in parts)
+
+
+def test_delete_compact_cycle(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("compact"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    eng.build(docs, {"text": F.col("text")}, build_id="c1")
+    before = eng.search("brain", k=5, use_wand=False).collect()
+    victim = before[0]
+    eng.delete_docs([victim["url"]])
+    after = eng.search("brain", k=5, use_wand=False).collect()
+    assert victim["doc_id"] not in [r["doc_id"] for r in after]
+    eng.compact()
+    # tombstones consumed; results unchanged by compaction
+    assert eng.catalog.read(spark, "tombstones").count() == 0
+    compacted = eng.search("brain", k=5, use_wand=False).collect()
+    assert [r["doc_id"] for r in compacted] == [r["doc_id"] for r in after]
+    for x, y in zip(compacted, after):
+        assert math.isclose(x["score"], y["score"], rel_tol=0, abs_tol=1e-9)
+    # the WAND gate reopens after compaction, against REBUILT blocks —
+    # the deleted doc must not resurface and scores must match the
+    # compacted full plan
+    assert eng.wand() is not None
+    wand = eng.search("'brain'", k=5, use_wand=True).collect()
+    full = eng.search("'brain'", k=5, use_wand=False).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in full]
+    assert victim["doc_id"] not in [r["doc_id"] for r in wand]
