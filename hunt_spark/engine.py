@@ -29,10 +29,13 @@ class HuntEngine:
         spark: SparkSession,
         catalog_root: str,
         cfg: BuildConfig | None = None,
+        word_limit: int = 0,
     ):
         self.spark = spark
         self.catalog = IndexCatalog(catalog_root)
         self.cfg = cfg or BuildConfig()
+        # Hunt's wordLimit query knob (Processor.hs:79-90); 0 = exact
+        self.word_limit = word_limit
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
@@ -95,6 +98,7 @@ class HuntEngine:
                 self.catalog.read(self.spark, "term_stats"),
                 stats,
                 self.cfg.n_shards,
+                word_limit=self.word_limit,
             )
         return self._compiler
 

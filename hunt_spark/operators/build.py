@@ -57,6 +57,9 @@ class BuildConfig:
     block_size: int = 4096  # max postings per compressed block
     context_weights: dict[str, float] = field(default_factory=dict)
     build_blocks: bool = True
+    # context columns are raw html binary; extraction runs fused inside
+    # the tokenize kernel (one Arrow pass, not two python stages)
+    extract_html: bool = False
 
 
 POSTINGS_SCHEMA = (
@@ -64,61 +67,83 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _invert_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, context, text) -> per-doc postings, map-side.
+def _make_invert(extract_html: bool):
+    """Batch-vectorized tokenize + invert kernel (optionally fused with
+    HTML text extraction — one Arrow round-trip instead of two python
+    stages).
 
-    Tokenization + inversion per document: stable argsort groups equal
-    tokens; positions are 1-based over the surviving token stream
-    (Hunt Analyze.hs:74-84 ``zip [1..]``).
+    One factorize + lexsort per Arrow batch replaces a per-document
+    argsort loop; positions are 1-based over the surviving token stream
+    (Hunt Analyze.hs:74-84 ``zip [1..]``) and stay ascending per
+    (doc, term) because lexsort is stable.
     """
-    for b in batches:
-        out_doc, out_cx, out_term, out_tf, out_pos, out_dl = [], [], [], [], [], []
-        for doc_id, cx, text in zip(b["doc_id"], b["context"], b["text"]):
-            toks = TOKEN_PATTERN_PY.findall(text or "")
-            dl = len(toks)
-            if dl == 0:
-                continue
-            arr = np.array(toks, dtype=object)
-            order = np.argsort(arr, kind="stable")
-            s = arr[order]
-            # boundaries of equal-term runs
-            starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
-            ends = np.concatenate((starts[1:], [len(s)]))
-            pos1 = (order + 1).astype(np.int32)  # 1-based positions
-            for i0, i1 in zip(starts, ends):
-                out_doc.append(doc_id)
-                out_cx.append(cx)
-                out_term.append(s[i0])
-                out_tf.append(i1 - i0)
-                out_pos.append(pos1[i0:i1])  # ascending (stable argsort)
-                out_dl.append(dl)
-        yield pd.DataFrame(
+    from hunt_spark.functions.analysis import _extract_one
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
             {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "context": out_cx,
-                "term": out_term,
-                "tf": pd.Series(out_tf, dtype="int32"),
-                "positions": out_pos,
-                "dl": pd.Series(out_dl, dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "context": pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int32"),
+                "positions": pd.Series([], dtype=object),
+                "dl": pd.Series([], dtype="int32"),
             }
         )
+        for b in batches:
+            texts = b["text"]
+            if extract_html:
+                texts = [_extract_one(x) for x in texts]
+            toks = [TOKEN_PATTERN_PY.findall(t) if t else [] for t in texts]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            total = int(lens.sum())
+            if total == 0:
+                yield empty
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            doc_idx = np.repeat(np.arange(len(toks)), lens)
+            starts_per_doc = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos1 = (np.arange(total) - starts_per_doc[doc_idx] + 1).astype(np.int32)
+            codes, uniq_terms = pd.factorize(flat)
+            order = np.lexsort((codes, doc_idx))  # by doc, then term
+            d_s, c_s = doc_idx[order], codes[order]
+            brk = np.flatnonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            g_start = np.concatenate(([0], brk + 1))
+            g_end = np.concatenate((brk + 1, [total]))
+            head = order[g_start]
+            pos_sorted = pos1[order]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy()[doc_idx[head]],
+                    "context": b["context"].to_numpy()[doc_idx[head]],
+                    "term": uniq_terms[c_s[g_start]],
+                    "tf": (g_end - g_start).astype(np.int32),
+                    "positions": np.split(pos_sorted, g_end[:-1]),
+                    "dl": lens[doc_idx[head]].astype(np.int32),
+                }
+            )
+
+    return go
 
 
 def postings_from_contexts(
     docs: DataFrame, context_cols: dict[str, Column], cfg: BuildConfig
 ) -> DataFrame:
     """docs must carry ``doc_id``; context_cols maps context name ->
-    string column with that context's raw text."""
+    string column with that context's raw text (or raw html binary when
+    cfg.extract_html is set — extraction then runs fused inside the
+    invert kernel)."""
+    cast_to = "binary" if cfg.extract_html else "string"
     per_cx = [
         docs.select(
-            "doc_id", F.lit(name).alias("context"), col.cast("string").alias("text")
+            "doc_id", F.lit(name).alias("context"), col.cast(cast_to).alias("text")
         )
         for name, col in context_cols.items()
     ]
     stacked = per_cx[0]
     for d in per_cx[1:]:
         stacked = stacked.unionByName(d)
-    p = stacked.mapInPandas(_invert_docs, schema=POSTINGS_SCHEMA)
+    p = stacked.mapInPandas(_make_invert(cfg.extract_html), schema=POSTINGS_SCHEMA)
     return p.withColumn("term_lc", F.lower("term")).withColumn(
         "shard", F.pmod(F.xxhash64("term_lc"), F.lit(cfg.n_shards)).cast("int")
     )
@@ -208,14 +233,20 @@ def build_blocks(
     u32 = F.shiftrightunsigned(F.col("doc_id"), 32).bitwiseXOR(F.lit(0x80000000))
     block_id = F.shiftright(u32 * F.col("n_blocks"), 32).cast("int")
 
+    # slim shuffle: ship only what the pack kernel needs — the
+    # original-case term collapses to a mostly-null variant, df and
+    # n_blocks are re-joined onto the (tiny) packed output instead of
+    # riding on 43M rows
     pre = (
         postings.join(tstats.select("context", "term_lc", "df"),
                       ["context", "term_lc"])
         .withColumn("n_blocks", n_blocks)
         .withColumn("block_id", block_id)
         .select(
-            "context", "shard", "term_lc", "block_id", "doc_id", "term",
-            "tf", "dl", "df", "n_blocks",
+            "context", "shard", "term_lc", "block_id", "doc_id",
+            F.when(F.col("term") != F.col("term_lc"), F.col("term")).alias("variant"),
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
         )
         .repartition("context", "shard")
         .sortWithinPartitions("context", "term_lc", "block_id", "doc_id")
@@ -227,8 +258,7 @@ def build_blocks(
         def emit(b: pd.DataFrame) -> pd.DataFrame:
             out = {k: [] for k in (
                 "context", "shard", "term_lc", "block_id", "n_postings",
-                "max_bm25", "df", "n_blocks", "doc_ids_vb", "variants",
-                "tfs", "dls",
+                "max_tfn", "doc_ids_vb", "variants", "tfs", "dls",
             )}
             cx_a = b["context"].to_numpy()
             lc_a = b["term_lc"].to_numpy()
@@ -242,35 +272,28 @@ def build_blocks(
             starts = np.concatenate(([0], brk + 1))
             ends = np.concatenate((brk + 1, [len(b)]))
             ids_a = b["doc_id"].to_numpy()
-            term_a = b["term"].to_numpy()
+            var_a = b["variant"].to_numpy()
             tf_a = b["tf"].to_numpy().astype(np.int32)
             dl_a = b["dl"].to_numpy().astype(np.int32)
-            df_a = b["df"].to_numpy()
-            nb_a = b["n_blocks"].to_numpy()
             sh_a = b["shard"].to_numpy()
             for i0, i1 in zip(starts, ends):
                 cx = cx_a[i0]
-                n_d, a_dl = n_docs_by_cx[cx], avg_dl_by_cx[cx]
+                a_dl = avg_dl_by_cx[cx]
                 tf = tf_a[i0:i1].astype(np.float64)
                 dl = dl_a[i0:i1].astype(np.float64)
-                df_v = float(df_a[i0])
-                # identical expression shape to idf_col/tf_norm_col
-                idf = np.log(1.0 + (n_d - df_v + 0.5) / (df_v + 0.5))
+                # identical expression shape to tf_norm_col; idf is a
+                # per-term scalar multiplied on after the stats re-join
                 tfn = (tf * (BM25_K1 + 1.0)) / (
                     tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / a_dl)
                 )
-                variants = term_a[i0:i1].astype(object)
-                variants[variants == lc_a[i0]] = None
                 out["context"].append(cx)
                 out["shard"].append(sh_a[i0])
                 out["term_lc"].append(lc_a[i0])
                 out["block_id"].append(bid_a[i0])
                 out["n_postings"].append(i1 - i0)
-                out["max_bm25"].append(float(idf * tfn.max()))
-                out["df"].append(df_a[i0])
-                out["n_blocks"].append(nb_a[i0])
+                out["max_tfn"].append(float(tfn.max()))
                 out["doc_ids_vb"].append(delta_varbyte_encode(ids_a[i0:i1]))
-                out["variants"].append(variants)
+                out["variants"].append(var_a[i0:i1])
                 out["tfs"].append(tf_a[i0:i1])
                 out["dls"].append(dl_a[i0:i1])
             return pd.DataFrame(out)
@@ -294,7 +317,30 @@ def build_blocks(
         if carry is not None and len(carry):
             yield emit(carry)
 
-    return pre.mapInPandas(pack, schema=BLOCKS_SCHEMA)
+    packed = pre.mapInPandas(
+        pack,
+        schema=(
+            "context string, shard int, term_lc string, block_id int, "
+            "n_postings long, max_tfn double, doc_ids_vb binary, "
+            "variants array<string>, tfs array<int>, dls array<int>"
+        ),
+    )
+    # re-attach the per-term stats on the packed (block-granular) rows
+    # and finish the block-max bound JVM-side: max_bm25 = idf * max_tfn.
+    # No broadcast hint: term_stats is not broadcastable at 10^12-doc
+    # scale; AQE picks broadcast automatically when it is small.
+    return (
+        packed.join(tstats.select("context", "term_lc", "df"),
+                    ["context", "term_lc"])
+        .join(F.broadcast(cstats.select("context", "n_docs")), "context")
+        .withColumn("n_blocks", n_blocks)
+        .withColumn("max_bm25", idf_col(F.col("df"), F.col("n_docs")) * F.col("max_tfn"))
+        .select(
+            "context", "shard", "term_lc", "block_id", "n_postings",
+            "max_bm25", "df", "n_blocks", "doc_ids_vb", "variants",
+            "tfs", "dls",
+        )
+    )
 
 
 def build_index(

@@ -42,7 +42,8 @@ def sim(searched: str, found: str) -> float:
 
 
 class OracleIndex:
-    def __init__(self, docs, context_texts, context_weights=None):
+    def __init__(self, docs, context_texts, context_weights=None, word_limit=0):
+        self.word_limit = word_limit
         """docs: iterable of (doc_id, url, weight);
         context_texts: {context: {doc_id: text}}."""
         self.urls: dict[int, str] = {}
@@ -94,13 +95,23 @@ class OracleIndex:
     # ---- leg scans ----
     def _matching_terms(self, cx, word, op, prefix):
         wl = word.lower()
+        allowed = None
+        if prefix and self.word_limit > 0:
+            # mirror the engine's cap: N shortest matching term_lc per
+            # context (case predicate applied after the cap, like the
+            # postings join does)
+            lcs = sorted(
+                {t.lower() for t in self.terms_by_cx[cx] if t.lower().startswith(wl)},
+                key=lambda s: (len(s), s),
+            )
+            allowed = set(lcs[: self.word_limit])
         for t in self.terms_by_cx[cx]:
             if op == "case":
                 ok = t.startswith(word) if prefix else t == word
             else:
                 tl = t.lower()
                 ok = tl.startswith(wl) if prefix else tl == wl
-            if ok:
+            if ok and (allowed is None or t.lower() in allowed):
                 yield t
 
     def _scan(self, word, op, prefix, cxs, raw):

@@ -92,12 +92,18 @@ class QueryCompiler:
         stats: IndexStats,
         n_shards: int,
         all_contexts: list[str] | None = None,
+        word_limit: int = 0,
     ):
         self.postings = postings
         self.term_stats = term_stats
         self.stats = stats
         self.n_shards = n_shards
         self.all_contexts = tuple(all_contexts or sorted(stats.n_docs))
+        # Hunt's wordLimit knob (Processor.hs:79-90, default 100 there):
+        # cap prefix expansion to the N shortest matching terms
+        # (StringMap toListShortestFirst order). 0 = exact/unlimited —
+        # the default here and what the oracle gate pins.
+        self.word_limit = word_limit
         self._n_map = stats.lit_map({k: float(v) for k, v in stats.n_docs.items()})
         self._avgdl_map = stats.lit_map(stats.avg_dl)
 
@@ -133,6 +139,19 @@ class QueryCompiler:
         ts = self.term_stats.filter(
             F.col("term_lc").startswith(wl) if prefix else (F.col("term_lc") == wl)
         ).select("context", "term_lc", "df")
+        if prefix and self.word_limit > 0:
+            # shortest-first expansion cap per context (Hunt limitWords
+            # over the per-context StringMap's toListShortestFirst)
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("context").orderBy(
+                F.length("term_lc"), F.col("term_lc")
+            )
+            ts = (
+                ts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.word_limit)
+                .drop("_rn")
+            )
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]

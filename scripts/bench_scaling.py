@@ -112,6 +112,32 @@ def run_job(
     return metrics
 
 
+def hw_scaling_control(n: int, n4: int) -> dict:
+    """Pure-CPU control: how well does THIS box scale n -> 4n cores on
+    embarrassingly parallel work? Captures the turbo-clock / memory-
+    bandwidth ceiling that no framework can beat — a real 4N-executor
+    cluster does not share sockets, so the Spark efficiency is reported
+    both raw and normalized by this ceiling."""
+    script = (
+        "import multiprocessing as mp, time, sys\n"
+        "def burn(x):\n"
+        "    s=0\n"
+        "    for i in range(3_000_000): s+=i*i\n"
+        "    return s\n"
+        "w=int(sys.argv[1])\n"
+        "t=time.time()\n"
+        "with mp.Pool(w) as p: p.map(burn, range(4*w))\n"
+        "print(time.time()-t)\n"
+    )
+    out = {}
+    for c in (n, n4):
+        cmd = ["taskset", "-c", f"0-{c - 1}", sys.executable, "-c", script, str(c)]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        out[c] = float(r.stdout.strip().splitlines()[-1])
+    # same work per core at both sizes => efficiency = T_n / T_4n
+    return {"t_n": out[n], "t_4n": out[n4], "efficiency": round(out[n] / out[n4], 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=200_000)
@@ -133,11 +159,26 @@ def main() -> None:
     zpath = make_zip(zdir)
 
     n, n4 = args.n, 4 * args.n
+    hw = hw_scaling_control(n, n4)
     m_n = run_job(zpath, args.corpus, n, queries=True, from_html=args.from_html)
     m_4n = run_job(zpath, args.corpus, n4, queries=True, from_html=args.from_html)
     eff = (m_n["build_sec"] / m_4n["build_sec"]) / 4
+    core_eff = (
+        round((m_n["core_build_sec"] / m_4n["core_build_sec"]) / 4, 3)
+        if m_n.get("core_build_sec") and m_4n.get("core_build_sec")
+        else None
+    )
 
-    result = {"N": m_n, "4N": m_4n, "scaling_efficiency": round(eff, 3)}
+    result = {
+        "N": m_n,
+        "4N": m_4n,
+        "scaling_efficiency": round(eff, 3),
+        "core_scaling_efficiency": core_eff,
+        "hw_control_efficiency": hw["efficiency"],
+        "scaling_efficiency_vs_hw": round(eff / hw["efficiency"], 3)
+        if hw["efficiency"]
+        else None,
+    }
     print(json.dumps(result))
 
     os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
@@ -167,6 +208,28 @@ def main() -> None:
         f"**Scaling efficiency (build, N={n} -> 4N={n4}):** "
         f"`(T_N / T_4N) / 4 = {result['scaling_efficiency']}` "
         f"(target >= 0.8 per BASELINE.json).",
+        "",
+        f"**Hardware control:** a pure-CPU multiprocessing burn (same "
+        f"work per core) scales at `{hw['efficiency']}` efficiency "
+        f"{n}->{n4} cores on this box (turbo clocking + shared memory "
+        f"bandwidth — a single socket is not 4 independent executors). "
+        f"Normalized by that ceiling the build's efficiency is "
+        f"`{result['scaling_efficiency_vs_hw']}`.",
+        "",
+        f"**Core posting-list pipeline** (doc_meta + postings + stats, "
+        f"i.e. without the blocks compression artifact): "
+        f"`efficiency = {result['core_scaling_efficiency']}`.",
+        "",
+        "Per-stage wall seconds:",
+        "",
+        "| stage | local[%d] | local[%d] | speedup |" % (n, n4),
+        "|---|---|---|---|",
+        *[
+            f"| {s} | {m_n['stage_sec'].get(s, '-')} | "
+            f"{m_4n['stage_sec'].get(s, '-')} | "
+            f"{round(m_n['stage_sec'][s] / m_4n['stage_sec'][s], 2) if m_n.get('stage_sec', {}).get(s) and m_4n.get('stage_sec', {}).get(s) else '-'} |"
+            for s in (m_n.get("stage_sec") or {})
+        ],
         "",
         "Per-query median latency (s):",
         "",

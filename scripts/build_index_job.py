@@ -59,13 +59,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from hunt_spark.engine import HuntEngine
-    from hunt_spark.functions.analysis import extract_text_udf
     from hunt_spark.operators.build import BuildConfig
 
     docs = spark.read.parquet(args.input)
     n_docs = docs.count()
-    if args.from_html:
-        docs = docs.drop("text").withColumn("text", extract_text_udf("html"))
 
     eng = HuntEngine(
         spark,
@@ -74,17 +71,28 @@ def main() -> None:
             n_shards=args.n_shards,
             salt_buckets=args.salt_buckets,
             block_size=args.block_size,
+            extract_html=args.from_html,
         ),
     )
+    # --from-html: extraction runs fused inside the tokenize kernel
+    # (one Arrow pass) on the raw html binary
+    cx = {"text": F.col("html") if args.from_html else F.col("text")}
     t0 = time.time()
-    eng.build(docs, {"text": F.col("text")}, build_id="bench", resume=False)
+    entries = eng.build(docs, cx, build_id="bench", resume=False)
     build_s = time.time() - t0
 
+    stage_sec = {k: round(v["wall_ms"] / 1000, 2) for k, v in entries.items()}
+    core_s = build_s - stage_sec.get("blocks", 0.0)
     out = {
         "n_docs": n_docs,
         "cores": args.cores,
         "build_sec": round(build_s, 3),
         "docs_per_sec": round(n_docs / build_s, 1),
+        # the posting-list pipeline alone (doc_meta+postings+stats);
+        # the blocks stage is the WAND compression artifact on top
+        "core_build_sec": round(core_s, 3),
+        "core_docs_per_sec": round(n_docs / core_s, 1),
+        "stage_sec": stage_sec,
     }
 
     if args.queries:

@@ -81,6 +81,37 @@ def test_varbyte_roundtrip_signed_first(values):
     assert list(delta_varbyte_decode(delta_varbyte_encode(a))) == sorted(values)
 
 
+def test_fused_html_extraction_build_equals_text_build(spark, tmp_path_factory):
+    """cfg.extract_html runs extraction inside the tokenize kernel; the
+    resulting index must be identical to building from the pre-
+    extracted text column (the byte-identity contract, fused)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hunt_spark.engine import HuntEngine
+    from hunt_spark.operators.build import BuildConfig
+    from hunt_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 150, partitions=2)
+    a = HuntEngine(
+        spark, str(tmp_path_factory.mktemp("ix_text")),
+        BuildConfig(n_shards=4, salt_buckets=2),
+    )
+    a.build(docs, {"text": F.col("text")}, build_id="t")
+    b = HuntEngine(
+        spark, str(tmp_path_factory.mktemp("ix_html")),
+        BuildConfig(n_shards=4, salt_buckets=2, extract_html=True),
+    )
+    b.build(docs, {"text": F.col("html")}, build_id="h")
+    for q in ("brain", "'the' 'new'", '"pinky and the brain"'):
+        ra = a.search(q, k=10, use_wand=False).collect()
+        rb = b.search(q, k=10, use_wand=False).collect()
+        assert [r["doc_id"] for r in ra] == [r["doc_id"] for r in rb], q
+        for x, y in zip(ra, rb):
+            assert math.isclose(x["score"], y["score"], rel_tol=0, abs_tol=1e-9)
+
+
 def test_corpus_determinism_spark_vs_pandas(spark):
     want = corpus_pandas(40)
     got = (

@@ -77,6 +77,33 @@ def test_query_completion_rank_identity(engine, oracle, q):
         assert math.isclose(g[1], w[1], abs_tol=1e-6)
 
 
+def test_word_limit_parity(spark, engine, oracle):
+    """Hunt's wordLimit knob (Processor.hs:79-90): prefix expansion
+    capped to the N shortest terms per context; engine and oracle must
+    agree under the cap, and the cap must actually bite."""
+    from hunt_spark.engine import HuntEngine
+
+    limited = HuntEngine(spark, engine.catalog.root, engine.cfg, word_limit=1)
+    old = oracle.word_limit
+    oracle.word_limit = 1
+    try:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in limited.search("bra", k=10, use_wand=False).collect()
+        ]
+        want = oracle.search("bra", k=10)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert math.isclose(g[1], w[2], abs_tol=1e-6)
+    finally:
+        oracle.word_limit = old
+    # the cap must actually bite: docs whose only match was a dropped
+    # expansion term disappear from the full result set
+    n_limited = limited.search("bra", k=100000, use_wand=False).count()
+    n_full = engine.search("bra", k=100000, use_wand=False).count()
+    assert n_limited < n_full
+
+
 def test_case_sensitive_excludes_lowercase(engine, oracle):
     # only the planted doc 1 contains capital "Brain"
     got, want = run_both(engine, oracle, "!Brain")
