@@ -58,11 +58,21 @@ def _ranked(df: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q_search(q: str, k: int = 10):
+def _q_search(q: str, k: int = 10, use_wand: bool | str = "auto"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
         n = eng.doc_meta().count()
-        return _ranked(eng.search(q, k=n), k)
+        return _ranked(eng.search(q, k=n, use_wand=use_wand), k)
+
+    return run
+
+
+def _q_search_word_limited(q: str, word_limit: int, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        lim = HuntEngine(spark, eng.catalog.root, eng.cfg, word_limit=word_limit)
+        n = eng.doc_meta().count()
+        return _ranked(lim.search(q, k=n, use_wand=False), k)
 
     return run
 
@@ -89,6 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_bm25_boost": _q_search("'spark'^2 OR 'hash'"),
         "idx_bm25_prefix": _q_search("sc"),
         "idx_bm25_range": _q_search("[batch TO join]"),
+        # block-max WAND pruned executor, verified against the same
+        # oracle SQL as the full plan (rank+score identity at the gate)
+        "idx_wand_and": _q_search("'spark' 'hash'", use_wand=True),
+        "idx_wand_or": _q_search("'spark' OR 'hash'", use_wand=True),
+        # Hunt wordLimit knob: prefix expansion capped shortest-first
+        "idx_prefix_word_limit": _q_search_word_limited("sc", word_limit=3),
         "idx_completion": lambda spark, sf_dir: (
             # rank on the fixed-point score (limit after rounding) so the
             # top-10 cut is bit-identical to the oracle's
@@ -313,6 +329,24 @@ def oracle_sql() -> dict[str, str]:
         "idx_bm25_range": _bm25(
             "SELECT doc_id, max(idf * tfn) AS s FROM sc "
             "WHERE term BETWEEN 'batch' AND 'join' GROUP BY doc_id"
+        ),
+        # WAND must be indistinguishable from the full plan => same oracle
+        "idx_wand_and": _bm25(
+            "SELECT doc_id, sum(idf * tfn) AS s FROM sc "
+            "WHERE term IN ('spark','hash') GROUP BY doc_id "
+            "HAVING count(DISTINCT term) = 2"
+        ),
+        "idx_wand_or": _bm25(
+            "SELECT doc_id, sum(idf * tfn) AS s FROM sc "
+            "WHERE term IN ('spark','hash') GROUP BY doc_id"
+        ),
+        # shortest-first expansion cap (3 terms) mirrored in SQL
+        "idx_prefix_word_limit": _bm25(
+            f"SELECT doc_id, max(({sim_sc}) * idf * tfn) AS s FROM sc "
+            "WHERE term IN (SELECT term FROM ("
+            "  SELECT DISTINCT term FROM sc WHERE term LIKE 'sc%')"
+            "  ORDER BY length(term), term LIMIT 3) "
+            "GROUP BY doc_id"
         ),
         "idx_completion": (
             f"SELECT term, CAST(round(sum(({sim_s}) * tf) * 10000) AS BIGINT) AS score_x1e4 "

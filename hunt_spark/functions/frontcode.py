@@ -1,0 +1,138 @@
+"""Front-coded term dictionary blocks (the Spark rendition of the
+reference's `.tv` term file: ascending terms stored as
+(sharedPrefixLen, suffix) against the previous term, all integers
+varbyte — hunt: Hunt/SegmentIndex/Directory/TermInfos.hs:237-255,
+varint loop Hunt/IO/Write.hs:87-103).
+
+On a cluster the dictionary is a table of bounded blocks, one row per
+~TERMS_PER_BLOCK consecutive terms of a (context, shard): the
+``first_term`` column gives parquet min/max pruning for point and
+prefix lookups, the blob decodes in one vectorized pass. The postings
+table remains the source of truth — this artifact exists for the
+storage-format parity and for shipping compact dictionaries to rankers
+(completion at scale reads blocks, not 43M posting rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TERMS_PER_BLOCK = 1024
+
+TERM_DICT_SCHEMA = (
+    "context string, shard int, first_term string, n_terms int, terms_fc binary"
+)
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def frontcode_encode(sorted_terms: list[str]) -> bytes:
+    """Ascending terms -> concat of (varint prefixLen, varint suffixLen,
+    suffix utf-8). Prefix lengths are in BYTES of the utf-8 form."""
+    out = bytearray()
+    prev = b""
+    for t in sorted_terms:
+        tb = t.encode("utf-8")
+        p = 0
+        m = min(len(prev), len(tb))
+        while p < m and prev[p] == tb[p]:
+            p += 1
+        suffix = tb[p:]
+        out += _varint(p)
+        out += _varint(len(suffix))
+        out += suffix
+        prev = tb
+    return bytes(out)
+
+
+def frontcode_decode(buf: bytes) -> list[str]:
+    terms: list[str] = []
+    prev = b""
+    i, n = 0, len(buf)
+
+    def read_varint(i: int) -> tuple[int, int]:
+        v, shift = 0, 0
+        while True:
+            b = buf[i]
+            v |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return v, i
+            shift += 7
+
+    while i < n:
+        p, i = read_varint(i)
+        slen, i = read_varint(i)
+        cur = prev[:p] + buf[i : i + slen]
+        i += slen
+        terms.append(cur.decode("utf-8"))
+        prev = cur
+    return terms
+
+
+def build_term_dict(term_stats: DataFrame, n_shards: int) -> DataFrame:
+    """term_stats (context, term_lc, ...) -> front-coded dictionary
+    blocks partitioned by (context, shard), ascending terms within and
+    across blocks of a partition."""
+    ts = term_stats.select(
+        "context",
+        "term_lc",
+        F.pmod(F.xxhash64("term_lc"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    part = ts.repartition("context", "shard").sortWithinPartitions(
+        "context", "shard", "term_lc"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chunk per (context, shard) run; Arrow batch boundaries only
+        # shorten a block (never corrupt it), so no carry needed
+        for b in batches:
+            rows = {k: [] for k in ("context", "shard", "first_term", "n_terms", "terms_fc")}
+            for (cx, sh), g in b.groupby(["context", "shard"], sort=False):
+                terms = g["term_lc"].tolist()
+                for i in range(0, len(terms), TERMS_PER_BLOCK):
+                    chunk = terms[i : i + TERMS_PER_BLOCK]
+                    rows["context"].append(cx)
+                    rows["shard"].append(sh)
+                    rows["first_term"].append(chunk[0])
+                    rows["n_terms"].append(len(chunk))
+                    rows["terms_fc"].append(frontcode_encode(chunk))
+            yield pd.DataFrame(rows)
+
+    return part.mapInPandas(pack, schema=TERM_DICT_SCHEMA)
+
+
+def lookup_prefix(term_dict: DataFrame, prefix: str) -> DataFrame:
+    """All dictionary terms with the given prefix — block-pruned scan
+    (first_term min/max narrows to candidate blocks), then vectorized
+    decode + filter."""
+    hi = prefix + "￿"
+    cand = term_dict.filter(
+        (F.col("first_term") <= hi)
+    ).select("context", "terms_fc")
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cx_o, t_o = [], []
+            for cx, fc in zip(b["context"], b["terms_fc"]):
+                for t in frontcode_decode(bytes(fc)):
+                    if t.startswith(prefix):
+                        cx_o.append(cx)
+                        t_o.append(t)
+            yield pd.DataFrame({"context": cx_o, "term_lc": t_o})
+
+    return cand.mapInPandas(go, schema="context string, term_lc string")

@@ -57,6 +57,7 @@ class BuildConfig:
     block_size: int = 4096  # max postings per compressed block
     context_weights: dict[str, float] = field(default_factory=dict)
     build_blocks: bool = True
+    build_term_dict: bool = True  # front-coded term dictionary artifact
     # context columns are raw html binary; extraction runs fused inside
     # the tokenize kernel (one Arrow pass, not two python stages)
     extract_html: bool = False
@@ -425,6 +426,18 @@ def build_index(
             lambda key: catalog.commit(
                 blocks, "blocks", key,
                 partition_by=["context", "shard"], sort_within_by=["term_lc", "block_id"],
+            ),
+        )
+
+    if cfg.build_term_dict:
+        from hunt_spark.functions.frontcode import build_term_dict
+
+        tdict = build_term_dict(catalog.read(spark, "term_stats"), cfg.n_shards)
+        stage(
+            "term_dict",
+            lambda key: catalog.commit(
+                tdict, "term_dict", key,
+                partition_by=["context", "shard"], sort_within_by=["first_term"],
             ),
         )
     return entries

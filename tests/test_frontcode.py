@@ -1,0 +1,73 @@
+"""Front-coded term dictionary: codec round-trips, ascending block
+invariants, block-pruned prefix lookup parity with term_stats
+(reference format: TermInfos.hs:237-255 front-coding + IO/Write.hs
+varints)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hunt_spark.functions.frontcode import (
+    frontcode_decode,
+    frontcode_encode,
+    lookup_prefix,
+)
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_frontcode_roundtrip(terms):
+    s = sorted(set(terms))
+    assert frontcode_decode(frontcode_encode(s)) == s
+
+
+def test_frontcode_compresses_shared_prefixes():
+    terms = sorted(f"prefixsharedlongrun{i:04d}" for i in range(1000))
+    fc = frontcode_encode(terms)
+    raw = sum(len(t) for t in terms)
+    assert len(fc) < raw * 0.4  # shared 19-char prefix collapses
+
+
+@pytest.fixture(scope="module")
+def term_dict(spark, engine):
+    return engine.catalog.read(spark, "term_dict")
+
+
+def test_term_dict_blocks_ascending(term_dict):
+    rows = term_dict.collect()
+    assert rows
+    for r in rows:
+        terms = frontcode_decode(bytes(r["terms_fc"]))
+        assert len(terms) == r["n_terms"]
+        assert terms[0] == r["first_term"]
+        assert terms == sorted(terms)
+
+
+def test_term_dict_covers_term_stats(spark, engine, term_dict):
+    want = {
+        (r["context"], r["term_lc"])
+        for r in engine.catalog.read(spark, "term_stats")
+        .select("context", "term_lc").collect()
+    }
+    got = set()
+    for r in term_dict.collect():
+        for t in frontcode_decode(bytes(r["terms_fc"])):
+            got.add((r["context"], t))
+    assert got == want
+
+
+def test_lookup_prefix_matches_term_stats(spark, engine, term_dict):
+    got = {
+        (r["context"], r["term_lc"])
+        for r in lookup_prefix(term_dict, "bra").collect()
+    }
+    want = {
+        (r["context"], r["term_lc"])
+        for r in engine.catalog.read(spark, "term_stats")
+        .filter(F.col("term_lc").startswith("bra"))
+        .select("context", "term_lc").collect()
+    }
+    assert got == want and got
