@@ -61,6 +61,15 @@ class BuildConfig:
     # context columns are raw html binary; extraction runs fused inside
     # the tokenize kernel (one Arrow pass, not two python stages)
     extract_html: bool = False
+    # Inversion strategy — both measured at 500k docs / 43M postings:
+    # "python" (default): Arrow mapInPandas kernel, one factorize +
+    #   lexsort per batch; 35s at local[32], 56s at local[8]. Shuffles
+    #   aggregated postings (43M rows), not tokens.
+    # "jvm": posexplode + groupBy(collect_list) — fully codegen'd but
+    #   the 65M-token collect_list aggregation is object/GC-bound
+    #   (198s at local[32]); kept as a cross-check oracle for the
+    #   kernel (equivalence pinned by test).
+    invert_strategy: str = "python"
 
 
 POSTINGS_SCHEMA = (
@@ -127,13 +136,41 @@ def _make_invert(extract_html: bool):
     return go
 
 
+def _invert_jvm(stacked: DataFrame) -> DataFrame:
+    """Pure-JVM inversion: tokenize (regexp_extract_all), dl computed
+    map-side BEFORE the explode (rides the token rows — no second
+    shuffle or doc join), posexplode for 1-based positions, groupBy
+    (context, doc_id, term) with map-side partial aggregation. Whole-
+    stage codegen end to end; shuffles Tungsten token rows instead of
+    Python objects."""
+    from hunt_spark.functions.analysis import tokenize_col
+
+    toks = (
+        stacked.withColumn("toks", tokenize_col(F.col("text")))
+        .withColumn("dl", F.size("toks").cast("int"))
+        .filter(F.col("dl") > 0)
+        .select(
+            "doc_id", "context", "dl",
+            F.posexplode("toks").alias("pos0", "term"),
+        )
+    )
+    return toks.groupBy("context", "doc_id", "term", "dl").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.array_sort(F.collect_list(F.col("pos0") + F.lit(1))).alias("positions"),
+    ).select("doc_id", "context", "term", "tf", "positions", "dl")
+
+
 def postings_from_contexts(
     docs: DataFrame, context_cols: dict[str, Column], cfg: BuildConfig
 ) -> DataFrame:
     """docs must carry ``doc_id``; context_cols maps context name ->
     string column with that context's raw text (or raw html binary when
-    cfg.extract_html is set — extraction then runs fused inside the
-    invert kernel)."""
+    cfg.extract_html is set — extraction runs in a vectorized Arrow UDF
+    before the JVM tokenizer, or fused inside the python invert
+    kernel)."""
+    from hunt_spark.functions.analysis import extract_text_udf
+
+    use_python = cfg.invert_strategy == "python"
     cast_to = "binary" if cfg.extract_html else "string"
     per_cx = [
         docs.select(
@@ -144,7 +181,12 @@ def postings_from_contexts(
     stacked = per_cx[0]
     for d in per_cx[1:]:
         stacked = stacked.unionByName(d)
-    p = stacked.mapInPandas(_make_invert(cfg.extract_html), schema=POSTINGS_SCHEMA)
+    if use_python:
+        p = stacked.mapInPandas(_make_invert(cfg.extract_html), schema=POSTINGS_SCHEMA)
+    else:
+        if cfg.extract_html:
+            stacked = stacked.withColumn("text", extract_text_udf("text"))
+        p = _invert_jvm(stacked)
     return p.withColumn("term_lc", F.lower("term")).withColumn(
         "shard", F.pmod(F.xxhash64("term_lc"), F.lit(cfg.n_shards)).cast("int")
     )

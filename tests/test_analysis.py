@@ -112,6 +112,32 @@ def test_fused_html_extraction_build_equals_text_build(spark, tmp_path_factory):
             assert math.isclose(x["score"], y["score"], rel_tol=0, abs_tol=1e-9)
 
 
+def test_jvm_and_python_invert_strategies_identical(spark):
+    """The codegen'd posexplode+groupBy inversion and the Arrow kernel
+    must produce identical postings rows (term, tf, positions, dl)."""
+    from pyspark.sql import functions as F
+
+    from hunt_spark.operators.build import BuildConfig, postings_from_contexts
+    from hunt_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 120, partitions=2).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    cxs = {"text": F.col("text")}
+
+    def rows(strategy):
+        p = postings_from_contexts(
+            docs, cxs, BuildConfig(n_shards=4, invert_strategy=strategy)
+        )
+        return sorted(
+            (r["doc_id"], r["context"], r["term"], r["tf"],
+             tuple(r["positions"]), r["dl"], r["term_lc"], r["shard"])
+            for r in p.collect()
+        )
+
+    assert rows("jvm") == rows("python")
+
+
 def test_corpus_determinism_spark_vs_pandas(spark):
     want = corpus_pandas(40)
     got = (
