@@ -134,35 +134,71 @@ def _shingle_rows(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: str = "text"
+def _verify_jaccard_pairs(
+    cand: DataFrame, docs: DataFrame, threshold: float, k: int, text_col: str
 ) -> DataFrame:
-    """Near-duplicate pairs by exact k-token-shingle Jaccard.
-
-    Candidate generation = self-equi-join on shingle (shuffle on the
-    shingle key — at scale, hot shingles should be df-capped first),
-    then |A∩B| via count and |A∪B| = |A|+|B|-|A∩B|.
-    Returns (doc_id_a, doc_id_b, jaccard_x1e4), a < b.
-    """
-    sh = _shingle_rows(docs, text_col, k)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard verification on candidate (doc_id_a, doc_id_b)
+    pairs only — array_intersect/union over the two shingle sets."""
+    sh = docs.select(
+        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
     )
-    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     return (
-        pairs.withColumn("jaccard_x1e4", F.round(j * 10000).cast("long"))
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .withColumn("jaccard_x1e4", F.round(j * 10000).cast("long"))
         .filter(j >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard_x1e4")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-token-shingle Jaccard, with
+    All-Pairs/PPJoin prefix filtering for candidate generation.
+
+    A naive self-equi-join on shingles costs sum(df^2) over shingles —
+    one stopword trigram in d docs alone yields d^2 join rows (the
+    quadratic blowup that kills this at scale; measured 42s of a 93s
+    bench at a mere 5k docs). Prefix filter instead: order shingles
+    globally by (df, shingle) ascending (rarest first); for a doc with
+    n shingles only its first `n - ceil(t*n) + 1` shingles can open a
+    qualifying pair — for any pair with J >= t, the globally smallest
+    common shingle provably sits inside BOTH prefixes (its rank in A
+    is at most na - |A∩B| + 1 <= na - ceil(t*na) + 1). Joining prefix
+    rows only, then verifying candidates exactly, keeps the output
+    identical to the exhaustive join while hot shingles (high df, so
+    sorted last) never enter candidate generation.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _shingle_rows(docs, text_col, k)
+    sdf = sh.groupBy("s").agg(F.count("*").alias("s_df"))
+    w = Window.partitionBy("doc_id").orderBy("s_df", "s")
+    # epsilon guards the float ceil toward a LONGER prefix (never drops
+    # a true candidate)
+    pref_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - 1e-9) + 1
+    prefix = (
+        sh.join(sdf, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pref_len)
+        .select("doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, docs, threshold, k, text_col)
 
 
 def minhash_signatures(
@@ -226,21 +262,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on candidates only
-    sh = docs.select(
-        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
-    )
-    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.join(va, "doc_id_a")
-        .join(vb, "doc_id_b")
-        .withColumn("jaccard_x1e4", F.round(j * 10000).cast("long"))
-        .filter(j >= threshold)
-        .select("doc_id_a", "doc_id_b", "jaccard_x1e4")
-    )
+    return _verify_jaccard_pairs(cand, docs, threshold, k, text_col)
 
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"

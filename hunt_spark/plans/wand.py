@@ -77,11 +77,21 @@ def compile_wand(q) -> tuple[str, list[WandLeg]] | None:
             return WandLeg(node.word, boost, op)
         return None
 
+    def flatten(node, op):
+        # the parser builds left-nested binary chains; associative
+        # same-op nesting flattens (QueryCompiler._flatten's rule)
+        if isinstance(node, QSeq) and node.op == op:
+            out = []
+            for x in node.legs:
+                out.extend(flatten(x, op))
+            return out
+        return [node]
+
     single = leg(q, 1.0)
     if single is not None:
         return ("or", [single])
     if isinstance(q, QSeq) and q.op in ("and", "or"):
-        legs = [leg(n, 1.0) for n in q.legs]
+        legs = [leg(n, 1.0) for n in flatten(q, q.op)]
         if all(x is not None for x in legs):
             # duplicate term_lc legs would need per-leg aggregation; bail
             lcs = [x.term_lc for x in legs]

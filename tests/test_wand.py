@@ -24,6 +24,8 @@ K = 10
 
 WAND_QUERIES = [
     "'brain'",
+    "'the' OR 'brain' OR 'pinky'",   # left-nested parser chain flattens
+    "'the' 'and' 'new' AND 'york'",
     "'the'",                      # hottest term, most blocks
     "'brain' 'pinky'",            # AND
     "'the' 'and' 'of'",           # hot-term AND
