@@ -76,6 +76,18 @@ class HuntEngine:
             p = p.join(F.broadcast(t.select("doc_id")), "doc_id", "left_anti")
         return p
 
+    def cache(self) -> "HuntEngine":
+        """Pin the query-side tables in executor memory (serving mode —
+        what a deployment does for hot shards; Hunt holds the whole
+        index in RAM at all times, Interpreter.hs XMVar). Idempotent.
+        At 100 TB you cache term_stats/doc_meta fully and rely on OS
+        page cache + parquet row-group pruning for postings; in local
+        serving both fit."""
+        self.compiler().postings.cache().count()
+        self.compiler().term_stats.cache().count()
+        self.doc_meta().cache().count()
+        return self
+
     def doc_meta(self) -> DataFrame:
         if self._doc_meta is None:
             m = self.catalog.read(self.spark, "doc_meta")
@@ -93,12 +105,20 @@ class HuntEngine:
                 avg_dl={r["context"]: r["avg_dl"] for r in cstats},
                 context_weights=self.cfg.context_weights,
             )
+            from hunt_spark.functions.analysis import CONTEXT_NORMS_PY
+
+            norms = {
+                cx: CONTEXT_NORMS_PY[t]
+                for cx, t in self.cfg.context_types.items()
+                if t != "text"
+            }
             self._compiler = QueryCompiler(
                 self._postings(),
                 self.catalog.read(self.spark, "term_stats"),
                 stats,
                 self.cfg.n_shards,
                 word_limit=self.word_limit,
+                context_norms=norms,
             )
         return self._compiler
 

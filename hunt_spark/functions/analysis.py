@@ -86,3 +86,141 @@ def tokenize_py(text: str, lowercase: bool = False) -> list[str]:
     """Driver/oracle-side tokenizer; must agree with tokenize_col."""
     toks = TOKEN_PATTERN_PY.findall(text or "")
     return [t.lower() for t in toks] if lowercase else toks
+
+
+# ---------------------------------------------------------------------------
+# typed-context normalizer chains (validate -> normalize; Hunt
+# Hunt/Index/Schema/Analyze.hs:62-68 applies the chain after validation,
+# before position assignment). Each has a JVM column form for the build
+# and a python twin for query-constant normalization and the oracle.
+# ---------------------------------------------------------------------------
+
+_INT_RE = re.compile(r"-?\d{1,19}")
+_TEN20 = 10**20
+
+
+def int_norm_py(tok: str) -> str | None:
+    """Hunt ZeroFill (Normalize/Int.hs:55-70): 21 chars, sign digit
+    ('1' non-negative, '0' negative) + 20 digits, negatives stored as
+    10^20 + n so lexicographic order == numeric order. Pinned by the
+    reference test "1" -> "100000000000000000001"
+    (test/Hunt/AnalyzerTests.hs:121-131). Validator: <= 19 digits
+    (the JVM build uses the identical rlike rule; Hunt bounds by
+    64-bit Int — Normalize/Int.hs isInt — this keeps the two engines'
+    rules exactly aligned instead). None = reject."""
+    if not _INT_RE.fullmatch(tok or ""):
+        return None
+    n = int(tok)
+    if n >= 0:
+        return "1" + str(n).zfill(20)
+    return "0" + str(_TEN20 + n).zfill(20)
+
+
+_DATE_RES = [
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"), 6),
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})"), 3),
+]
+
+
+def date_norm_py(tok: str) -> str | None:
+    """ISO-8601 date[time] -> 14-digit yyyymmddhhmmss string
+    (Normalize/Date.hs:56-63 digit packing); lexicographic ==
+    chronological."""
+    for rx, ngroups in _DATE_RES:
+        m = rx.fullmatch(tok or "")
+        if m:
+            digits = "".join(m.groups())
+            return digits.ljust(14, "0")
+    return None
+
+
+_GEO_RE = re.compile(r"(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)")
+
+
+def geo_norm_py(tok: str) -> str | None:
+    """"lat-lon" -> 64-char '0'/'1' Morton/Z-order string: lat and lon
+    shifted non-negative, scaled x1e7 to 32-bit ints, bit-interleaved
+    MSB-first (lat bits at even positions). A z-string prefix is a
+    spatial containment cell (Normalize/Position.hs:61-68 semantics;
+    PrefixTreeIndex2Dim range = prefix walk)."""
+    m = _GEO_RE.fullmatch(tok or "")
+    if not m:
+        return None
+    lat, lon = float(m.group(1)), float(m.group(2))
+    if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+        return None
+    ulat = int(round((lat + 90.0) * 1e7))
+    ulon = int(round((lon + 180.0) * 1e7))
+    out = []
+    for i in range(31, -1, -1):
+        out.append("1" if ulat >> i & 1 else "0")
+        out.append("1" if ulon >> i & 1 else "0")
+    return "".join(out)
+
+
+CONTEXT_NORMS_PY = {"int": int_norm_py, "date": date_norm_py, "geo": geo_norm_py}
+
+
+def normalize_context_col(col: Column | str, ctype: str) -> Column:
+    """Raw text column -> space-joined stream of validated+normalized
+    tokens for a typed context (feed this as the context column to the
+    build; downstream \\w+ tokenization preserves the normalized forms,
+    and positions are 1-based over the SURVIVING tokens, matching
+    Hunt's validate-then-position order).
+
+    int/date are pure JVM expressions; geo needs bit interleaving —
+    a vectorized Arrow UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    if ctype == "text":
+        return c
+    toks = F.split(c, r"\s+")
+    if ctype == "int":
+        mapped = F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(r"^-?\d{1,19}$"),
+                F.when(
+                    t.cast("decimal(21,0)") >= 0,
+                    F.concat(
+                        F.lit("1"),
+                        F.lpad(t.cast("decimal(21,0)").cast("string"), 20, "0"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("0"),
+                        F.lpad(
+                            (
+                                F.lit(str(_TEN20)).cast("decimal(21,0)")
+                                + t.cast("decimal(21,0)")
+                            ).cast("decimal(21,0)").cast("string"),
+                            20,
+                            "0",
+                        ),
+                    )
+                ),
+            ),
+        )
+    elif ctype == "date":
+        mapped = F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$"),
+                F.rpad(F.regexp_replace(t, r"[^0-9]", ""), 14, "0"),
+            ),
+        )
+    elif ctype == "geo":
+        return _geo_norm_text_udf(c)
+    else:
+        raise ValueError(f"unknown context type {ctype!r}")
+    return F.array_join(F.filter(mapped, lambda x: x.isNotNull()), " ")
+
+
+@pandas_udf(StringType())
+def _geo_norm_text_udf(text: pd.Series) -> pd.Series:
+    def one(s: str | None) -> str | None:
+        if s is None:
+            return None
+        out = [z for t in s.split() if (z := geo_norm_py(t)) is not None]
+        return " ".join(out)
+
+    return text.map(one)

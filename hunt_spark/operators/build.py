@@ -56,6 +56,10 @@ class BuildConfig:
     salt_buckets: int = 4  # writer-task spread per (context, shard)
     block_size: int = 4096  # max postings per compressed block
     context_weights: dict[str, float] = field(default_factory=dict)
+    # per-context type: "text" (default) | "int" | "date" | "geo" —
+    # drives the analysis normalizer chain (build side via
+    # normalize_context_col, query side via CONTEXT_NORMS_PY)
+    context_types: dict[str, str] = field(default_factory=dict)
     build_blocks: bool = True
     build_term_dict: bool = True  # front-coded term dictionary artifact
     # context columns are raw html binary; extraction runs fused inside
@@ -168,13 +172,23 @@ def postings_from_contexts(
     cfg.extract_html is set — extraction runs in a vectorized Arrow UDF
     before the JVM tokenizer, or fused inside the python invert
     kernel)."""
-    from hunt_spark.functions.analysis import extract_text_udf
+    from hunt_spark.functions.analysis import extract_text_udf, normalize_context_col
 
     use_python = cfg.invert_strategy == "python"
     cast_to = "binary" if cfg.extract_html else "string"
+
+    def prepared(name: str, col: Column) -> Column:
+        ctype = cfg.context_types.get(name, "text")
+        if ctype == "text":
+            return col.cast(cast_to)
+        # typed contexts: validate+normalize into a token stream whose
+        # \w+ re-tokenization is the normalized terms (positions stay
+        # 1-based over surviving tokens — Hunt Analyze.hs:62-84 order)
+        return normalize_context_col(col.cast("string"), ctype).cast(cast_to)
+
     per_cx = [
         docs.select(
-            "doc_id", F.lit(name).alias("context"), col.cast(cast_to).alias("text")
+            "doc_id", F.lit(name).alias("context"), prepared(name, col).alias("text")
         )
         for name, col in context_cols.items()
     ]

@@ -42,8 +42,14 @@ def sim(searched: str, found: str) -> float:
 
 
 class OracleIndex:
-    def __init__(self, docs, context_texts, context_weights=None, word_limit=0):
+    def __init__(
+        self, docs, context_texts, context_weights=None, word_limit=0,
+        context_norms=None,
+    ):
         self.word_limit = word_limit
+        # per-context query-constant normalizers (typed contexts);
+        # mirrors QueryCompiler.context_norms
+        self.context_norms = context_norms or {}
         """docs: iterable of (doc_id, url, weight);
         context_texts: {context: {doc_id: text}}."""
         self.urls: dict[int, str] = {}
@@ -117,8 +123,12 @@ class OracleIndex:
     def _scan(self, word, op, prefix, cxs, raw):
         out = {}  # (cx, doc) -> [score, positions set]
         for cx in cxs:
-            for t in self._matching_terms(cx, word, op, prefix):
-                s_term = sim(word, t)
+            norm = self.context_norms.get(cx)
+            w = norm(word) if norm else word
+            if w is None:
+                continue
+            for t in self._matching_terms(cx, w, op, prefix):
+                s_term = sim(w, t)
                 if s_term <= 0:
                     continue
                 idf = self.idf(cx, t.lower())
@@ -137,12 +147,16 @@ class OracleIndex:
         return {k: v[0] for k, v in out.items()}
 
     def _scan_range(self, lo, hi, cxs):
-        lo, hi = lo.lower(), hi.lower()
         out = {}
         for cx in cxs:
+            norm = self.context_norms.get(cx)
+            lo_cx = (norm(lo) if norm else lo.lower())
+            hi_cx = (norm(hi) if norm else hi.lower())
+            if lo_cx is None or hi_cx is None:
+                continue
             for t in self.terms_by_cx[cx]:
                 tl = t.lower()
-                if not (lo <= tl <= hi):
+                if not (lo_cx <= tl <= hi_cx):
                     continue
                 idf = self.idf(cx, tl)
                 for doc_id, poss in self.postings[(cx, t)].items():
@@ -151,27 +165,36 @@ class OracleIndex:
                     out[key] = max(out.get(key, 0.0), contrib)
         return out
 
-    # ---- combinators ----
-    @staticmethod
-    def _and(legs):
+    # ---- combinators (on context-collapsed ScoredDocs, like the
+    # reference: Processor.hs:513-517 over DocIdMap Score) ----
+    def _collapse(self, scored):
+        """{(cx, doc): s} -> {doc: s} with context weights; identity if
+        already doc-keyed."""
+        if not scored or not isinstance(next(iter(scored)), tuple):
+            return dict(scored)
+        out = defaultdict(float)
+        for (cx, doc_id), s in scored.items():
+            out[doc_id] += s * self.context_weights.get(cx, 1.0)
+        return dict(out)
+
+    def _and(self, legs):
+        legs = [self._collapse(x) for x in legs]
         acc = legs[0]
         for leg in legs[1:]:
             acc = {k: acc[k] + leg[k] for k in acc.keys() & leg.keys()}
         return acc
 
-    @staticmethod
-    def _or(legs):
+    def _or(self, legs):
         acc = defaultdict(float)
         for leg in legs:
-            for k, v in leg.items():
+            for k, v in self._collapse(leg).items():
                 acc[k] += v
         return dict(acc)
 
-    @staticmethod
-    def _andnot(legs):
-        acc = dict(legs[0])
+    def _andnot(self, legs):
+        acc = self._collapse(legs[0])
         for leg in legs[1:]:
-            for k in leg:
+            for k in self._collapse(leg):
                 acc.pop(k, None)
         return acc
 
@@ -233,10 +256,7 @@ class OracleIndex:
 
     def search(self, query, k=10, offset=0):
         ast = parse_query(query) if isinstance(query, str) else query
-        scored = self.eval(ast)
-        by_doc = defaultdict(float)
-        for (cx, doc_id), s in scored.items():
-            by_doc[doc_id] += s * self.context_weights.get(cx, 1.0)
+        by_doc = self._collapse(self.eval(ast))
         ranked = sorted(
             (
                 (doc_id, self.urls[doc_id], s * self.weights[doc_id])
@@ -275,7 +295,5 @@ class OracleIndex:
         head = (
             ast.legs[0] if len(ast.legs) == 2 else QSeq("and", tuple(ast.legs[:-1]))
         )
-        doc_set = {
-            doc_id for (_cx, doc_id) in self.eval(head, cxs and tuple(cxs)).keys()
-        }
+        doc_set = set(self._collapse(self.eval(head, cxs and tuple(cxs))).keys())
         return self.completion(last.word, k=k, contexts=cxs, doc_filter=doc_set)

@@ -93,12 +93,18 @@ class QueryCompiler:
         n_shards: int,
         all_contexts: list[str] | None = None,
         word_limit: int = 0,
+        context_norms: dict | None = None,
     ):
         self.postings = postings
         self.term_stats = term_stats
         self.stats = stats
         self.n_shards = n_shards
         self.all_contexts = tuple(all_contexts or sorted(stats.n_docs))
+        # per-context query-constant normalizers (Hunt normQueryCx,
+        # Processor.hs:165-181): typed contexts (int/date/geo) rewrite
+        # query words/range bounds with the same chain the build used;
+        # a normalizer returning None rejects the word for that context
+        self.context_norms = context_norms or {}
         # Hunt's wordLimit knob (Processor.hs:79-90, default 100 there):
         # cap prefix expansion to the N shortest matching terms
         # (StringMap toListShortestFirst order). 0 = exact/unlimited —
@@ -122,11 +128,48 @@ class QueryCompiler:
             c = F.col("term_lc").startswith(wl) if prefix else (F.col("term_lc") == wl)
         return c
 
+    def _group_by_norm(self, word: str, cxs: tuple) -> dict[str, list[str]]:
+        """Group target contexts by the normalized form of the query
+        constant; contexts whose validator rejects the word drop out."""
+        groups: dict[str, list[str]] = {}
+        for cx in cxs:
+            norm = self.context_norms.get(cx)
+            w = norm(word) if norm else word
+            if w is not None:
+                groups.setdefault(w, []).append(cx)
+        return groups
+
     def _scan(
         self, word: str, op: str, prefix: bool, cxs: tuple, raw: bool
     ) -> DataFrame:
         """One query word -> scored (and optionally position-bearing)
-        per-(context, doc) rows."""
+        per-(context, doc) rows; fans out per normalized-constant group
+        when typed contexts are in play."""
+        groups = self._group_by_norm(word, cxs)
+        if not groups:
+            return self._empty(raw)
+        if len(groups) > 1 or next(iter(groups)) != word:
+            parts = [
+                self._scan_one(w, op, prefix, tuple(g), raw)
+                for w, g in groups.items()
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return u
+        return self._scan_one(word, op, prefix, cxs, raw)
+
+    def _empty(self, raw: bool) -> DataFrame:
+        schema = (
+            "context string, doc_id long, score double, positions array<int>"
+            if raw
+            else "context string, doc_id long, score double"
+        )
+        return self.postings.sparkSession.createDataFrame([], schema)
+
+    def _scan_one(
+        self, word: str, op: str, prefix: bool, cxs: tuple, raw: bool
+    ) -> DataFrame:
         wl = word.lower()
         p = self.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(self._term_predicate(word, op, prefix))
@@ -172,6 +215,30 @@ class QueryCompiler:
         return j.groupBy("context", "doc_id").agg(F.max("contrib").alias("score"))
 
     def _scan_range(self, lo: str, hi: str, cxs: tuple) -> DataFrame:
+        # typed contexts: normalize both bounds (lexicographic range on
+        # zero-filled / digit-packed forms == numeric/chronological)
+        lo_g = self._group_by_norm(lo, cxs)
+        hi_g = self._group_by_norm(hi, cxs)
+        keys = set()
+        for w, g in lo_g.items():
+            for cx in g:
+                hw = next((w2 for w2, g2 in hi_g.items() if cx in g2), None)
+                if hw is not None:
+                    keys.add((w, hw, cx))
+        pairs: dict[tuple[str, str], list[str]] = {}
+        for w, hw, cx in keys:
+            pairs.setdefault((w, hw), []).append(cx)
+        if not pairs:
+            return self._empty(False)
+        parts = [
+            self._scan_range_one(w, hw, tuple(g)) for (w, hw), g in pairs.items()
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def _scan_range_one(self, lo: str, hi: str, cxs: tuple) -> DataFrame:
         p = self.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(F.col("term_lc").between(lo.lower(), hi.lower()))
         ts = self.term_stats.filter(
@@ -190,33 +257,36 @@ class QueryCompiler:
         )
 
     # ------------------------------------------------------------------
-    # combinators
+    # combinators — Hunt combines boolean legs on *aggregated*
+    # ScoredDocs, i.e. AFTER the per-leg context collapse (context
+    # weights applied), so cross-context conjunctions work:
+    # `name:foo AND city:bar` (Processor.hs:513-517 over ScoredDocs =
+    # DocIdMap Score; collapse = boostAndAggregateCx,
+    # Intermediate.hs:267-278). Output of a boolean node is doc-level.
     # ------------------------------------------------------------------
-    @staticmethod
-    def _and(legs: list[DataFrame]) -> DataFrame:
+    def _and(self, legs: list[DataFrame]) -> DataFrame:
+        legs = [self.collapse_contexts(x) for x in legs]
         acc = legs[0]
         for i, leg in enumerate(legs[1:], 1):
             r = leg.withColumnRenamed("score", f"_s{i}")
-            acc = acc.join(r, ["context", "doc_id"]).withColumn(
+            acc = acc.join(r, ["doc_id"]).withColumn(
                 "score", F.col("score") + F.col(f"_s{i}")
             ).drop(f"_s{i}")
-        return acc.select(*SCORED)
+        return acc.select("doc_id", "score")
 
-    @staticmethod
-    def _or(legs: list[DataFrame]) -> DataFrame:
-        u = legs[0].select(*SCORED)
+    def _or(self, legs: list[DataFrame]) -> DataFrame:
+        u = self.collapse_contexts(legs[0])
         for leg in legs[1:]:
-            u = u.unionByName(leg.select(*SCORED))
-        return u.groupBy("context", "doc_id").agg(F.sum("score").alias("score"))
+            u = u.unionByName(self.collapse_contexts(leg))
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    @staticmethod
-    def _andnot(legs: list[DataFrame]) -> DataFrame:
-        acc = legs[0]
+    def _andnot(self, legs: list[DataFrame]) -> DataFrame:
+        acc = self.collapse_contexts(legs[0])
         for leg in legs[1:]:
             acc = acc.join(
-                leg.select("context", "doc_id"), ["context", "doc_id"], "left_anti"
+                self.collapse_contexts(leg).select("doc_id"), ["doc_id"], "left_anti"
             )
-        return acc.select(*SCORED)
+        return acc.select("doc_id", "score")
 
     @staticmethod
     def _sequence(legs: list[DataFrame], op: str, dist: int) -> DataFrame:
@@ -324,6 +394,11 @@ class QueryCompiler:
     # :348-361 toDocsResult)
     # ------------------------------------------------------------------
     def collapse_contexts(self, scored: DataFrame) -> DataFrame:
+        """Context dimension -> per-doc score with context weights
+        (boostAndAggregateCx). Identity on already-collapsed (doc-level
+        boolean) results."""
+        if "context" not in scored.columns:
+            return scored
         w = self.stats.lit_map(
             {c: self.stats.context_weights.get(c, 1.0) for c in self.all_contexts}
         )

@@ -1,0 +1,158 @@
+"""Typed context normalizer chains (int ZeroFill / date digit-pack /
+geo Morton z-order) — reference semantics from
+Hunt/Index/Schema/Normalize/*.hs, pinned strings from
+test/Hunt/AnalyzerTests.hs:121-131 — plus engine-vs-oracle identity
+for typed range and point queries (normQueryCx on the query side)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.functions.analysis import (
+    date_norm_py,
+    geo_norm_py,
+    int_norm_py,
+)
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.oracle import OracleIndex
+
+
+def test_int_zerofill_reference_pin():
+    # AnalyzerTests.hs:121-131
+    assert int_norm_py("1") == "100000000000000000001"
+    assert int_norm_py("0") == "1" + "0" * 20
+    assert int_norm_py("-1") == "0" + "9" * 20
+    assert int_norm_py("x1") is None
+    assert int_norm_py("1.5") is None
+
+
+@given(st.integers(-(10**18), 10**18), st.integers(-(10**18), 10**18))
+@settings(max_examples=300, deadline=None)
+def test_int_zerofill_order_isomorphic(a, b):
+    na, nb = int_norm_py(str(a)), int_norm_py(str(b))
+    assert (a < b) == (na < nb)
+    assert len(na) == 21
+
+
+def test_date_pack():
+    assert date_norm_py("2013-01-01") == "20130101000000"
+    assert date_norm_py("2013-01-01T12:30:45") == "20130101123045"
+    assert date_norm_py("2013-1-1") is None
+    assert date_norm_py("hello") is None
+    assert date_norm_py("2012-12-31") < date_norm_py("2013-01-01")
+
+
+def test_geo_zorder_properties():
+    z = geo_norm_py("52.5-13.4")
+    assert z is not None and len(z) == 64 and set(z) <= {"0", "1"}
+    assert geo_norm_py("52.5-13.4") == geo_norm_py("52.5-13.4")
+    # nearby points share a long common prefix; far points do not
+    z2 = geo_norm_py("52.5000001-13.4000001")
+    z_far = geo_norm_py("-33.9--151.2") or geo_norm_py("-33.9-151.2")
+    common = len([1 for a, b in zip(z, z2) if a == b])  # not prefix len
+    prefix2 = next((i for i, (a, b) in enumerate(zip(z, z2)) if a != b), 64)
+    prefix_far = next((i for i, (a, b) in enumerate(zip(z, z_far)) if a != b), 64)
+    assert prefix2 > prefix_far
+    assert geo_norm_py("91.0-0.0") is None
+    assert geo_norm_py("junk") is None
+
+
+ROWS = [
+    # (url, body, year, date, pos)
+    ("u1", "alpha beta", "1999", "1999-05-04", "52.5-13.4"),
+    ("u2", "beta gamma", "2005", "2005-01-31", "52.5-13.4"),
+    ("u3", "gamma delta", "2010", "2010-12-24", "48.8-2.3"),
+    ("u4", "delta alpha", "-50", "2013-01-01T08:00:00", "40.7--74.0"),
+    ("u5", "alpha gamma", "7", "1999-05-04", "35.6-139.7"),
+]
+
+CTYPES = {"year": "int", "date": "date", "pos": "geo"}
+
+
+@pytest.fixture(scope="module")
+def typed_engine(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        ROWS, "url string, body string, year string, date string, pos string"
+    )
+    eng = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("typed_idx")),
+        BuildConfig(n_shards=4, salt_buckets=2, context_types=CTYPES),
+    )
+    eng.build(
+        df,
+        {c: F.col(c) for c in ("body", "year", "date", "pos")},
+        build_id="typed",
+    )
+    return eng
+
+
+@pytest.fixture(scope="module")
+def oracle_typed(spark):
+    from hunt_spark.functions.analysis import CONTEXT_NORMS_PY
+
+    ids = {
+        r["url"]: r["id"]
+        for r in spark.createDataFrame([(r[0],) for r in ROWS], "url string")
+        .select("url", F.xxhash64("url").alias("id"))
+        .collect()
+    }
+
+    def norm_text(text, ctype):
+        f = CONTEXT_NORMS_PY[ctype]
+        return " ".join(z for t in text.split() if (z := f(t)) is not None)
+
+    docs = [(ids[r[0]], r[0], 1.0) for r in ROWS]
+    cx = {
+        "body": {ids[r[0]]: r[1] for r in ROWS},
+        "year": {ids[r[0]]: norm_text(r[2], "int") for r in ROWS},
+        "date": {ids[r[0]]: norm_text(r[3], "date") for r in ROWS},
+        "pos": {ids[r[0]]: norm_text(r[4], "geo") for r in ROWS},
+    }
+    norms = {c: CONTEXT_NORMS_PY[t] for c, t in CTYPES.items()}
+    return OracleIndex(docs, cx, context_norms=norms)
+
+
+TYPED_QUERIES = [
+    "year:[1999 TO 2010]",       # int range, numeric order
+    "year:[-100 TO 10]",         # negative lower bound
+    "year:'2005'",               # int point
+    "date:[1999-01-01 TO 2010-12-31]",
+    "date:'2013-01-01T08:00:00'",
+    "pos:'52.5-13.4'",           # geo point (z-string equality)
+    "alpha AND year:[0 TO 2000]",
+]
+
+
+@pytest.mark.parametrize("q", TYPED_QUERIES)
+def test_typed_rank_identity(typed_engine, oracle_typed, q):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in typed_engine.search(q, k=10, use_wand=False).collect()
+    ]
+    want = [(d, s) for d, _u, s in oracle_typed.search(q, k=10)]
+    assert [g[0] for g in got] == [w[0] for w in want], (q, got, want)
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], abs_tol=1e-6)
+    assert got, q
+
+
+def test_int_range_is_numeric_not_lexicographic(typed_engine):
+    # lexicographic raw strings would put "7" above "1999"; zero-fill
+    # must keep 7 inside [0 TO 2000] and -50 outside
+    ids = {
+        r["url"]
+        for r in typed_engine.search("year:[0 TO 2000]", k=10).collect()
+    }
+    assert ids == {"u1", "u5"}
+
+
+def test_typed_validator_rejects_in_query(typed_engine):
+    # a non-int constant cannot match anything in the int context
+    assert typed_engine.search("year:'notanint'", k=10).count() == 0
