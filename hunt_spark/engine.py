@@ -135,6 +135,17 @@ class HuntEngine:
             t = self._tombstones()
             if t is not None and t.limit(1).count() > 0:
                 return None
+            # blocks must postdate the newest postings mutation: insert/
+            # update commit fresh postings snapshots the blocks artifact
+            # doesn't reflect (snapshot ids are ms-timestamp-prefixed,
+            # so string order == commit order)
+            snaps_b = self.catalog.snapshots("blocks")
+            snaps_p = self.catalog.snapshots("postings")
+            if not snaps_b or (
+                snaps_p
+                and snaps_b[-1]["snapshot_id"] < snaps_p[-1]["snapshot_id"]
+            ):
+                return None
             try:
                 blocks = self.catalog.read(self.spark, "blocks")
             except FileNotFoundError:
@@ -159,12 +170,19 @@ class HuntEngine:
         return parse_query(query) if isinstance(query, str) else query
 
     def search(
-        self, query, k: int = 10, offset: int = 0, use_wand: bool | str = "auto"
+        self,
+        query,
+        k: int = 10,
+        offset: int = 0,
+        use_wand: bool | str = "auto",
+        fields: list[str] | None = None,
     ) -> DataFrame:
-        """Scored top-k retrieval: (doc_id, url, score), tie-break
-        (score DESC, url ASC) — Hunt's RankedDoc order
+        """Scored top-k retrieval: (doc_id, url, score [, fields...]),
+        tie-break (score DESC, url ASC) — Hunt's RankedDoc order
         (Intermediate.hs:371-384) via TakeOrderedAndProject.
 
+        ``fields`` selects additional doc_meta columns into the result
+        (Hunt mkSelect field projection, Interpreter.hs:585-593).
         ``use_wand="auto"`` routes flat AND/OR-of-exact-words queries
         through the block-max pruned executor (plans/wand.py); results
         are rank-identical to the full plan (pinned by tests)."""
@@ -184,11 +202,13 @@ class HuntEngine:
         if scored is None:
             scored = c.eval(ast)
         scored = c.collapse_contexts(scored)
-        meta = self.doc_meta().select("doc_id", "url", "weight")
+        extra = [f for f in (fields or []) if f not in ("doc_id", "url", "weight")]
+        meta = self.doc_meta().select("doc_id", "url", "weight", *extra)
         res = scored.join(meta, "doc_id").select(
             "doc_id",
             "url",
             (F.col("score") * F.col("weight")).alias("score"),
+            *extra,
         )
         res = res.orderBy(F.desc("score"), F.asc("url"))
         if offset:
@@ -233,6 +253,8 @@ class HuntEngine:
         sum(sim x tf)."""
         from hunt_spark.plans.ast import QContext, QFullWord, QSeq, QWord
 
+        from hunt_spark.plans.ast import QPhrase
+
         ast = self._ast(query)
         cxs = None
         if isinstance(ast, QContext):
@@ -240,6 +262,19 @@ class HuntEngine:
             ast = ast.query
         if isinstance(ast, (QWord, QFullWord)):
             return self.completion(ast.word, k=k, contexts=cxs)
+        if isinstance(ast, QPhrase):
+            # normPhraseQuery (Processor.hs:453-478): the last word of
+            # the phrase being typed is the prefix; preceding words
+            # restrict the doc set as a phrase
+            words = ast.phrase.split()
+            if len(words) == 1:
+                return self.completion(words[0], k=k, contexts=cxs)
+            head = QPhrase(" ".join(words[:-1]), ast.op)
+            if cxs is not None:
+                head = QContext(tuple(cxs), head)
+            return self.completion(
+                words[-1], k=k, contexts=cxs, doc_filter=self.select(head)
+            )
         if isinstance(ast, QSeq) and ast.op == "and":
             last = ast.legs[-1]
             if not isinstance(last, (QWord, QFullWord)):
@@ -292,6 +327,34 @@ class HuntEngine:
             self._refresh_stats()
         else:
             self._invalidate()
+
+    def update(self, docs: DataFrame, context_cols: dict[str, Column]) -> None:
+        """Hunt Update (Interpreter.hs:488-504 modifyWithDescription):
+        re-index the given documents. MERGE-style rewrite — old rows of
+        the updated doc ids are anti-joined out and the fresh postings/
+        metadata appended in one new base snapshot (a tombstone cannot
+        express 'old rows only': it would also kill the re-inserted
+        doc_id). On Iceberg this is MERGE INTO, rewriting only the
+        matching files."""
+        docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        if "weight" not in docs.columns:
+            docs = docs.withColumn("weight", F.lit(1.0))
+        ids = docs.select("doc_id")
+        new_p = postings_from_contexts(docs, context_cols, self.cfg)
+        merged = self._postings().join(ids, "doc_id", "left_anti").unionByName(new_p)
+        self.catalog.commit(
+            merged, "postings", "update/postings",
+            partition_by=["context", "shard"], sort_within_by=["term_lc", "doc_id"],
+        )
+        meta_cols = [
+            c for c in ("doc_id", "url", "weight", "lang", "warc_ts")
+            if c in docs.columns
+        ]
+        m = self.doc_meta().join(ids, "doc_id", "left_anti").unionByName(
+            docs.select(*meta_cols), allowMissingColumns=True
+        )
+        self.catalog.commit(m, "doc_meta", "update/doc_meta")
+        self._refresh_stats()
 
     def delete_docs(self, urls: list[str]) -> None:
         t = self.spark.createDataFrame([(u,) for u in urls], "url string").select(

@@ -290,6 +290,17 @@ class OracleIndex:
             ast = ast.query
         if isinstance(ast, (QWord, QFullWord)):
             return self.completion(ast.word, k=k, contexts=cxs)
+        if isinstance(ast, QPhrase):
+            words = ast.phrase.split()
+            if len(words) == 1:
+                return self.completion(words[0], k=k, contexts=cxs)
+            head = QPhrase(" ".join(words[:-1]), ast.op)
+            doc_set = set(
+                self._collapse(self.eval(head, cxs and tuple(cxs))).keys()
+            )
+            return self.completion(
+                words[-1], k=k, contexts=cxs, doc_filter=doc_set
+            )
         assert isinstance(ast, QSeq) and ast.op == "and"
         last = ast.legs[-1]
         head = (

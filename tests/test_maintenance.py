@@ -1,0 +1,76 @@
+"""Maintenance verbs: Update (MERGE-style re-index), field selection,
+WAND staleness gating across the mutation lifecycle (Hunt
+Interpreter.hs:488-504 Update; :585-593 mkSelect)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.sources.corpus import CORPUS_SCHEMA, corpus_pandas
+
+
+@pytest.fixture()
+def eng(spark, tmp_path_factory):
+    e = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("maint_idx")),
+        BuildConfig(n_shards=4, salt_buckets=2),
+    )
+    docs = spark.createDataFrame(corpus_pandas(120), schema=CORPUS_SCHEMA)
+    e.build(docs, {"text": F.col("text")}, build_id="m")
+    return e
+
+
+def test_update_reindexes_document(spark, eng):
+    url = "https://example.org/en/doc00000000"  # planted pinky/brain doc
+    before = {r["doc_id"] for r in eng.select("'pinky'").collect()}
+    updated = spark.createDataFrame(
+        [(url, "zebra xylophone unique content only here")],
+        "url string, text string",
+    )
+    eng.update(updated, {"text": F.col("text")})
+    # old terms of the updated doc are gone, new terms findable
+    doc_id = spark.createDataFrame([(url,)], "url string").select(
+        F.xxhash64("url").alias("id")
+    ).first()["id"]
+    after_pinky = {r["doc_id"] for r in eng.select("'pinky'").collect()}
+    assert doc_id in before and doc_id not in after_pinky
+    hits = {r["doc_id"] for r in eng.select("'xylophone'").collect()}
+    assert hits == {doc_id}
+    # doc count unchanged (replacement, not insertion)
+    assert eng.doc_meta().count() == 120
+    assert eng.doc_meta().filter(F.col("doc_id") == doc_id).count() == 1
+
+
+def test_update_closes_wand_gate_until_compact(spark, eng):
+    assert eng.wand() is not None
+    updated = spark.createDataFrame(
+        [("https://example.org/en/doc00000001", "fresh words")],
+        "url string, text string",
+    )
+    eng.update(updated, {"text": F.col("text")})
+    assert eng.wand() is None  # blocks predate the postings rewrite
+    eng.compact()
+    assert eng.wand() is not None
+    w = eng.search("'the'", k=5, use_wand=True).collect()
+    f = eng.search("'the'", k=5, use_wand=False).collect()
+    assert [r["doc_id"] for r in w] == [r["doc_id"] for r in f]
+
+
+def test_insert_closes_wand_gate(spark, eng):
+    assert eng.wand() is not None
+    new = spark.createDataFrame(
+        corpus_pandas(5, offset=500), schema=CORPUS_SCHEMA
+    )
+    eng.insert(new, {"text": F.col("text")})
+    assert eng.wand() is None
+
+
+def test_search_field_selection(eng):
+    res = eng.search("brain", k=3, fields=["lang", "warc_ts"])
+    assert res.columns == ["doc_id", "url", "score", "lang", "warc_ts"]
+    rows = res.collect()
+    assert rows and all(r["lang"] in ("en", "de") for r in rows)

@@ -61,8 +61,8 @@ def test_completion_rank_identity(engine, oracle):
 
 @pytest.mark.parametrize(
     "q",
-    ["pinky bra", "'the' AND pinky AND bra", "title:bra"],
-    ids=["and2", "and3", "context"],
+    ["pinky bra", "'the' AND pinky AND bra", "title:bra", '"pinky and the bra"'],
+    ids=["and2", "and3", "context", "phrase"],
 )
 def test_query_completion_rank_identity(engine, oracle, q):
     # Hunt processQueryScoredWords: AND head as doc-set filter on the
