@@ -28,6 +28,17 @@ from hunt_spark.functions.analysis import tokenize_col
 # ---------------------------------------------------------------------------
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Small corpora often arrive as one parquet file = one partition;
+    every map-side kernel then runs on a single core. Fan out to the
+    cluster's parallelism before heavy per-doc work (no-op when the
+    input is already partitioned, i.e. always at real scale)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        return docs.repartition(target)
+    return docs
+
+
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("tokens", tokenize_col(text_col))
 
@@ -126,7 +137,7 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
 
 def _shingle_rows(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     return (
-        docs.select(
+        _spread(docs).select(
             "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
         )
         .filter(F.size("sh") > 0)
@@ -206,18 +217,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: per seed i, min over shingles of
     xxhash64(seed_i || shingle) — all JVM-side array expressions."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "sh", lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
-                )
-            )
-            for i in range(n_hashes)
-        ]
+    # ONE aggregate pass over the shingle array computing all seeds'
+    # minima together: n separate array_min(transform(sh,...)) columns
+    # get the shingle expression INLINED n times by CollapseProject
+    # (higher-order funcs defeat subexpression elimination) — measured
+    # 5.6s -> ~1s for 5k docs at n_hashes=8
+    init = F.array(*[F.lit(2**63 - 1).cast("long")] * n_hashes)
+    sig = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
+                    for i in range(n_hashes)
+                ]
+            ),
+            lambda a, h: F.least(a, h),
+        ),
     )
     return sh.select("doc_id", sig.alias("sig"))
 
@@ -272,7 +293,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-term xxhash-like bit votes weighted by tf.
     The bit-vote kernel is a vectorized Arrow UDF (numpy), the rest is
     DataFrame ops."""
-    toks = docs.select("doc_id", tokenize_col(text_col).alias("t")).filter(
+    toks = _spread(docs).select("doc_id", tokenize_col(text_col).alias("t")).filter(
         F.size("t") > 0
     )
 
