@@ -30,12 +30,16 @@ class HuntEngine:
         catalog_root: str,
         cfg: BuildConfig | None = None,
         word_limit: int = 0,
+        scoring: str = "bm25",
     ):
         self.spark = spark
         self.catalog = IndexCatalog(catalog_root)
         self.cfg = cfg or BuildConfig()
         # Hunt's wordLimit query knob (Processor.hs:79-90); 0 = exact
         self.word_limit = word_limit
+        # "bm25" (north-star ranking) | "hunt" (reference-native
+        # sim*tf arithmetic, OR=max — RankingTests parity mode)
+        self.scoring = scoring
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
@@ -119,6 +123,7 @@ class HuntEngine:
                 self.cfg.n_shards,
                 word_limit=self.word_limit,
                 context_norms=norms,
+                scoring=self.scoring,
             )
         return self._compiler
 
@@ -132,6 +137,8 @@ class HuntEngine:
         no tombstones postdating the blocks snapshot (baked-in idf would
         be stale). Otherwise fall back to the full plan."""
         if self._wand is None:
+            if self.scoring != "bm25":
+                return None  # blocks bake BM25 contributions
             t = self._tombstones()
             if t is not None and t.limit(1).count() > 0:
                 return None

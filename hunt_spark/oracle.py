@@ -45,8 +45,10 @@ class OracleIndex:
     def __init__(
         self, docs, context_texts, context_weights=None, word_limit=0,
         context_norms=None,
+        scoring="bm25",
     ):
         self.word_limit = word_limit
+        self.scoring = scoring
         # per-context query-constant normalizers (typed contexts);
         # mirrors QueryCompiler.context_norms
         self.context_norms = context_norms or {}
@@ -133,7 +135,10 @@ class OracleIndex:
                     continue
                 idf = self.idf(cx, t.lower())
                 for doc_id, poss in self.postings[(cx, t)].items():
-                    contrib = s_term * idf * self.tf_norm(cx, doc_id, len(poss))
+                    if self.scoring == "hunt":
+                        contrib = s_term * len(poss)
+                    else:
+                        contrib = s_term * idf * self.tf_norm(cx, doc_id, len(poss))
                     if contrib <= 0:
                         continue
                     key = (cx, doc_id)
@@ -160,7 +165,10 @@ class OracleIndex:
                     continue
                 idf = self.idf(cx, tl)
                 for doc_id, poss in self.postings[(cx, t)].items():
-                    contrib = idf * self.tf_norm(cx, doc_id, len(poss))
+                    if self.scoring == "hunt":
+                        contrib = float(len(poss))
+                    else:
+                        contrib = idf * self.tf_norm(cx, doc_id, len(poss))
                     key = (cx, doc_id)
                     out[key] = max(out.get(key, 0.0), contrib)
         return out
@@ -185,11 +193,14 @@ class OracleIndex:
         return acc
 
     def _or(self, legs):
-        acc = defaultdict(float)
+        acc = {}
         for leg in legs:
             for k, v in self._collapse(leg).items():
-                acc[k] += v
-        return dict(acc)
+                if self.scoring == "hunt":
+                    acc[k] = max(acc.get(k, float("-inf")), v)
+                else:
+                    acc[k] = acc.get(k, 0.0) + v
+        return acc
 
     def _andnot(self, legs):
         acc = self._collapse(legs[0])

@@ -94,6 +94,7 @@ class QueryCompiler:
         all_contexts: list[str] | None = None,
         word_limit: int = 0,
         context_norms: dict | None = None,
+        scoring: str = "bm25",
     ):
         self.postings = postings
         self.term_stats = term_stats
@@ -110,6 +111,14 @@ class QueryCompiler:
         # (StringMap toListShortestFirst order). 0 = exact/unlimited —
         # the default here and what the oracle gate pins.
         self.word_limit = word_limit
+        # "bm25" (the rebuild's ranking per the north star) or "hunt"
+        # (the reference's native arithmetic: word hit = sim * tf,
+        # OR keeps per-doc MAX of leg scores — Score monoid,
+        # Hunt/Scoring/Score.hs:66-71; pinned by RankingTests.hs:92-145
+        # replicas in tests/test_hunt_scoring.py)
+        if scoring not in ("bm25", "hunt"):
+            raise ValueError(f"unknown scoring mode {scoring!r}")
+        self.scoring = scoring
         self._n_map = stats.lit_map({k: float(v) for k, v in stats.n_docs.items()})
         self._avgdl_map = stats.lit_map(stats.avg_dl)
 
@@ -198,11 +207,16 @@ class QueryCompiler:
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]
-        contrib = (
-            sim_col(word, F.col("term"))
-            * idf_col(F.col("df"), n)
-            * tf_norm_col(F.col("tf"), F.col("dl"), avgdl)
-        )
+        if self.scoring == "hunt":
+            # reference arithmetic: word hit = sim * tf
+            # (Intermediate.hs:432-437 Aggregate ScoredOccs ScoredDocs)
+            contrib = sim_col(word, F.col("term")) * F.col("tf").cast("double")
+        else:
+            contrib = (
+                sim_col(word, F.col("term"))
+                * idf_col(F.col("df"), n)
+                * tf_norm_col(F.col("tf"), F.col("dl"), avgdl)
+            )
         j = j.withColumn("contrib", contrib).filter(F.col("contrib") > 0)
         if raw:
             # merge expanded terms per doc: positions unioned, score = max
@@ -247,9 +261,12 @@ class QueryCompiler:
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]
-        contrib = idf_col(F.col("df"), n) * tf_norm_col(
-            F.col("tf"), F.col("dl"), avgdl
-        )
+        if self.scoring == "hunt":
+            contrib = F.col("tf").cast("double")  # range hit scored like a word
+        else:
+            contrib = idf_col(F.col("df"), n) * tf_norm_col(
+                F.col("tf"), F.col("dl"), avgdl
+            )
         return (
             j.withColumn("contrib", contrib)
             .groupBy("context", "doc_id")
@@ -278,7 +295,11 @@ class QueryCompiler:
         u = self.collapse_contexts(legs[0])
         for leg in legs[1:]:
             u = u.unionByName(self.collapse_contexts(leg))
-        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        # hunt: OR-ed identical docs keep MAX of leg scores (Score
+        # monoid, Score.hs:66-71); bm25 mode sums (disjunctive BM25 —
+        # the documented deviation, oracle mirrors)
+        comb = F.max("score") if self.scoring == "hunt" else F.sum("score")
+        return u.groupBy("doc_id").agg(comb.alias("score"))
 
     def _andnot(self, legs: list[DataFrame]) -> DataFrame:
         acc = self.collapse_contexts(legs[0])
