@@ -124,6 +124,7 @@ class HuntEngine:
                 word_limit=self.word_limit,
                 context_norms=norms,
                 scoring=self.scoring,
+                context_types=self.cfg.context_types,
             )
         return self._compiler
 

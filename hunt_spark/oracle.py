@@ -46,9 +46,11 @@ class OracleIndex:
         self, docs, context_texts, context_weights=None, word_limit=0,
         context_norms=None,
         scoring="bm25",
+        context_types=None,
     ):
         self.word_limit = word_limit
         self.scoring = scoring
+        self.context_types = context_types or {}
         # per-context query-constant normalizers (typed contexts);
         # mirrors QueryCompiler.context_norms
         self.context_norms = context_norms or {}
@@ -159,13 +161,31 @@ class OracleIndex:
             hi_cx = (norm(hi) if norm else hi.lower())
             if lo_cx is None or hi_cx is None:
                 continue
+            gaussian = (
+                self.scoring == "hunt"
+                and self.context_types.get(cx) == "int"
+            )
+            if gaussian:
+                def dec(z):
+                    v = int(z[1:])
+                    return v if z[0] == "1" else v - 10**20
+                mu = (dec(lo_cx) + dec(hi_cx)) / 2.0
+                sigma = (dec(hi_cx) - dec(lo_cx)) / 2.0
             for t in self.terms_by_cx[cx]:
                 tl = t.lower()
                 if not (lo_cx <= tl <= hi_cx):
                     continue
                 idf = self.idf(cx, tl)
                 for doc_id, poss in self.postings[(cx, t)].items():
-                    if self.scoring == "hunt":
+                    if gaussian:
+                        if sigma <= 0:
+                            contrib = 1.0
+                        else:
+                            x = float(dec(tl))
+                            contrib = math.exp(
+                                -((x - mu) ** 2) / (2.0 * sigma * sigma)
+                            )
+                    elif self.scoring == "hunt":
                         contrib = float(len(poss))
                     else:
                         contrib = idf * self.tf_norm(cx, doc_id, len(poss))

@@ -72,6 +72,32 @@ class IndexStats:
         return F.create_map(*pairs)
 
 
+def _decode_zerofill(term_lc: Column) -> Column:
+    """Inverse of the int ZeroFill normalizer: 21-char packed string ->
+    numeric value (sign digit '1' non-negative; negatives stored as
+    10^20 + n)."""
+    digits = F.substring(term_lc, 2, 20).cast("decimal(21,0)")
+    return F.when(
+        F.substring(term_lc, 1, 1) == "1", digits.cast("double")
+    ).otherwise((digits - F.lit(str(10**20)).cast("decimal(21,0)")).cast("double"))
+
+
+def _gaussian_range_score(lo_norm: str, hi_norm: str) -> Column:
+    """exp(-(x-mu)^2 / (2 sigma^2)) with mu the midpoint and sigma the
+    half-width of the queried interval (degenerate interval -> 1.0)."""
+    def dec(z: str) -> int:
+        v = int(z[1:])
+        return v if z[0] == "1" else v - 10**20
+
+    lo_v, hi_v = dec(lo_norm), dec(hi_norm)
+    mu = (lo_v + hi_v) / 2.0
+    sigma = (hi_v - lo_v) / 2.0
+    if sigma <= 0:
+        return F.lit(1.0)
+    x = _decode_zerofill(F.col("term_lc"))
+    return F.exp(-((x - F.lit(mu)) ** 2) / F.lit(2.0 * sigma * sigma))
+
+
 def sim_col(searched: str, found: Column) -> Column:
     """Hunt/Scoring/Keys.hs:42-54 similar'."""
     ls = len(searched)
@@ -95,6 +121,7 @@ class QueryCompiler:
         word_limit: int = 0,
         context_norms: dict | None = None,
         scoring: str = "bm25",
+        context_types: dict | None = None,
     ):
         self.postings = postings
         self.term_stats = term_stats
@@ -119,6 +146,7 @@ class QueryCompiler:
         if scoring not in ("bm25", "hunt"):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         self.scoring = scoring
+        self.context_types = context_types or {}
         self._n_map = stats.lit_map({k: float(v) for k, v in stats.n_docs.items()})
         self._avgdl_map = stats.lit_map(stats.avg_dl)
 
@@ -262,7 +290,13 @@ class QueryCompiler:
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]
         if self.scoring == "hunt":
-            contrib = F.col("tf").cast("double")  # range hit scored like a word
+            if all(self.context_types.get(cx) == "int" for cx in cxs):
+                # I9 lookupRangeSc (PrefixTreeIndex.hs:266-270,
+                # Keys.hs:70-99): Gaussian bell vs the interval midpoint
+                # over the decoded numeric value; sigma = half-width
+                contrib = _gaussian_range_score(lo, hi)
+            else:
+                contrib = F.col("tf").cast("double")  # scored like a word hit
         else:
             contrib = idf_col(F.col("df"), n) * tf_norm_col(
                 F.col("tf"), F.col("dl"), avgdl

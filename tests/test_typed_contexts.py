@@ -153,6 +153,47 @@ def test_int_range_is_numeric_not_lexicographic(typed_engine):
     assert ids == {"u1", "u5"}
 
 
+def test_gaussian_int_range_hunt_mode(spark, tmp_path_factory):
+    """I9 lookupRangeSc: in reference-native scoring mode an int-range
+    hit scores by a Gaussian bell vs the interval midpoint
+    (PrefixTreeIndex.hs:266-270, Keys.hs:70-99) — midpoint docs rank
+    above edge docs; engine == oracle to 1e-9."""
+    import math as m
+
+    from hunt_spark.functions.analysis import CONTEXT_NORMS_PY, int_norm_py
+
+    rows = [(f"u{y}", str(y)) for y in (2000, 2003, 2005, 2007, 2010)]
+    df = spark.createDataFrame(rows, "url string, year string")
+    eng = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("gauss_idx")),
+        BuildConfig(n_shards=2, context_types={"year": "int"}),
+        scoring="hunt",
+    )
+    eng.build(df, {"year": F.col("year")}, build_id="g")
+    got = eng.search("year:[2000 TO 2010]", k=10, use_wand=False).collect()
+    # midpoint 2005 first, symmetric decay outward, edges last
+    assert [r["url"] for r in got] == ["u2005", "u2003", "u2007", "u2000", "u2010"]
+    assert m.isclose(got[0]["score"], 1.0)
+    assert m.isclose(got[1]["score"], m.exp(-(2.0**2) / (2 * 5.0**2)))
+
+    ids = {
+        r["url"]: r["id"]
+        for r in df.select("url", F.xxhash64("url").alias("id")).collect()
+    }
+    oracle = OracleIndex(
+        [(ids[u], u, 1.0) for u, _y in rows],
+        {"year": {ids[u]: int_norm_py(y) for u, y in rows}},
+        context_norms={"year": CONTEXT_NORMS_PY["int"]},
+        scoring="hunt",
+        context_types={"year": "int"},
+    )
+    want = oracle.search("year:[2000 TO 2010]", k=10)
+    assert [r["doc_id"] for r in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert m.isclose(g["score"], w[2], abs_tol=1e-9)
+
+
 def test_typed_validator_rejects_in_query(typed_engine):
     # a non-int constant cannot match anything in the int context
     assert typed_engine.search("year:'notanint'", k=10).count() == 0
