@@ -22,3 +22,15 @@ all per-row work in vectorized Arrow UDFs; no RDDs, no driver loops.
 __version__ = "0.1.0"
 
 from hunt_spark.engine import HuntEngine  # noqa: F401
+from hunt_spark.operators.build import BuildConfig  # noqa: F401
+from hunt_spark.plans.ast import (  # noqa: F401
+    QBoost,
+    QContext,
+    QFullWord,
+    QPhrase,
+    QRange,
+    QSeq,
+    QWord,
+)
+from hunt_spark.plans.optimize import optimize_query  # noqa: F401
+from hunt_spark.plans.parser import parse_query  # noqa: F401
