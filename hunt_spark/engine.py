@@ -43,6 +43,7 @@ class HuntEngine:
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
+        self._wand_unavailable: str | None = None
 
     # ------------------------------------------------------------------
     # build / load
@@ -76,8 +77,10 @@ class HuntEngine:
         t = self._tombstones()
         if t is not None:
             # merge-on-read deletes (Iceberg-style tombstones; Hunt
-            # SegmentIndex delete generations, IndexWriter.hs:38-42)
-            p = p.join(F.broadcast(t.select("doc_id")), "doc_id", "left_anti")
+            # SegmentIndex delete generations, IndexWriter.hs:38-42).
+            # No broadcast hint: a delete_by_query can tombstone 10% of
+            # the corpus — let AQE pick broadcast vs shuffle by size.
+            p = p.join(t.select("doc_id"), "doc_id", "left_anti")
         return p
 
     def cache(self) -> "HuntEngine":
@@ -97,7 +100,8 @@ class HuntEngine:
             m = self.catalog.read(self.spark, "doc_meta")
             t = self._tombstones()
             if t is not None:
-                m = m.join(F.broadcast(t.select("doc_id")), "doc_id", "left_anti")
+                # size-adaptive anti-join (AQE), same as _postings()
+                m = m.join(t.select("doc_id"), "doc_id", "left_anti")
             self._doc_meta = m
         return self._doc_meta
 
@@ -138,32 +142,37 @@ class HuntEngine:
         no tombstones postdating the blocks snapshot (baked-in idf would
         be stale). Otherwise fall back to the full plan."""
         if self._wand is None:
+            self._wand_unavailable = None
             if self.scoring != "bm25":
-                return None  # blocks bake BM25 contributions
+                self._wand_unavailable = "blocks bake BM25 contributions"
+                return None
             t = self._tombstones()
             if t is not None and t.limit(1).count() > 0:
+                self._wand_unavailable = "tombstones postdate the blocks snapshot"
                 return None
             # blocks must postdate the newest postings mutation: insert/
             # update commit fresh postings snapshots the blocks artifact
-            # doesn't reflect (snapshot ids are ms-timestamp-prefixed,
-            # so string order == commit order)
+            # doesn't reflect. Compared by manifest seq (the append
+            # order == commit order); snapshot-id strings would order
+            # randomly for two commits in the same millisecond.
             snaps_b = self.catalog.snapshots("blocks")
             snaps_p = self.catalog.snapshots("postings")
-            if not snaps_b or (
-                snaps_p
-                and snaps_b[-1]["snapshot_id"] < snaps_p[-1]["snapshot_id"]
-            ):
+            if not snaps_b or (snaps_p and snaps_b[-1]["seq"] < snaps_p[-1]["seq"]):
+                self._wand_unavailable = "blocks artifact stale or missing"
                 return None
             try:
                 blocks = self.catalog.read(self.spark, "blocks")
             except FileNotFoundError:
+                self._wand_unavailable = "blocks artifact missing"
                 return None
             if len(self.compiler().all_contexts) > 1:
+                self._wand_unavailable = "multi-context index"
                 return None
             wrange = self.doc_meta().agg(
                 F.min("weight").alias("lo"), F.max("weight").alias("hi")
             ).first()
             if wrange["lo"] != wrange["hi"]:
+                self._wand_unavailable = "non-uniform doc weights"
                 return None
             st = self.compiler().stats
             self._wand = WandExecutor(
@@ -199,14 +208,22 @@ class HuntEngine:
         scored = None
         if use_wand in ("auto", True):
             shape = compile_wand(ast)
-            wx = self.wand() if shape else None
-            if shape and wx is not None:
-                op, legs = shape
-                scored = wx.topk_candidates(
-                    op, legs, k + offset, c.all_contexts
-                )
-            elif use_wand is True:
-                raise ValueError("query shape not WAND-compilable")
+            if shape is None:
+                if use_wand is True:
+                    raise ValueError("query shape not WAND-compilable")
+            else:
+                wx = self.wand()
+                if wx is not None:
+                    op, legs = shape
+                    scored = wx.topk_candidates(
+                        op, legs, k + offset, c.all_contexts
+                    )
+                elif use_wand is True:
+                    # state-dependent (not a query-shape) condition:
+                    # name the reason instead of a misleading error
+                    raise RuntimeError(
+                        f"WAND unavailable: {self._wand_unavailable}"
+                    )
         if scored is None:
             scored = c.eval(ast)
         scored = c.collapse_contexts(scored)

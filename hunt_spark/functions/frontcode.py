@@ -119,10 +119,15 @@ def build_term_dict(term_stats: DataFrame, n_shards: int) -> DataFrame:
 def lookup_prefix(term_dict: DataFrame, prefix: str) -> DataFrame:
     """All dictionary terms with the given prefix — block-pruned scan
     (first_term min/max narrows to candidate blocks), then vectorized
-    decode + filter."""
-    hi = prefix + "￿"
+    decode + filter.
+
+    Pruning compares only the first len(prefix) chars of first_term, so
+    a block whose first_term itself starts with the prefix can never be
+    excluded — the naive `first_term <= prefix + U+FFFF` bound would
+    drop blocks led by prefix + a supplementary-plane char (> U+FFFF),
+    which \\w+ tokenization can produce."""
     cand = term_dict.filter(
-        (F.col("first_term") <= hi)
+        F.substring(F.col("first_term"), 1, len(prefix)) <= F.lit(prefix)
     ).select("context", "terms_fc")
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

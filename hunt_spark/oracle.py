@@ -169,8 +169,9 @@ class OracleIndex:
                 def dec(z):
                     v = int(z[1:])
                     return v if z[0] == "1" else v - 10**20
+                # Keys.hs:78-90: sigma = max(|mu|, 10) / 10, midpoint-only
                 mu = (dec(lo_cx) + dec(hi_cx)) / 2.0
-                sigma = (dec(hi_cx) - dec(lo_cx)) / 2.0
+                sigma = max(abs(mu), 10.0) / 10.0
             for t in self.terms_by_cx[cx]:
                 tl = t.lower()
                 if not (lo_cx <= tl <= hi_cx):
@@ -178,13 +179,10 @@ class OracleIndex:
                 idf = self.idf(cx, tl)
                 for doc_id, poss in self.postings[(cx, t)].items():
                     if gaussian:
-                        if sigma <= 0:
-                            contrib = 1.0
-                        else:
-                            x = float(dec(tl))
-                            contrib = math.exp(
-                                -((x - mu) ** 2) / (2.0 * sigma * sigma)
-                            )
+                        x = float(dec(tl))
+                        contrib = math.exp(
+                            -((x - mu) ** 2) / (2.0 * sigma * sigma)
+                        )
                     elif self.scoring == "hunt":
                         contrib = float(len(poss))
                     else:
@@ -197,12 +195,19 @@ class OracleIndex:
     # reference: Processor.hs:513-517 over DocIdMap Score) ----
     def _collapse(self, scored):
         """{(cx, doc): s} -> {doc: s} with context weights; identity if
-        already doc-keyed."""
+        already doc-keyed. bm25 mode sums contexts; hunt mode keeps the
+        per-doc MAX across contexts — boostAndAggregateCx folds with the
+        Score monoid (Intermediate.hs:267-278, Score.hs:66-71 mappend =
+        max)."""
         if not scored or not isinstance(next(iter(scored)), tuple):
             return dict(scored)
         out = defaultdict(float)
         for (cx, doc_id), s in scored.items():
-            out[doc_id] += s * self.context_weights.get(cx, 1.0)
+            v = s * self.context_weights.get(cx, 1.0)
+            if self.scoring == "hunt":
+                out[doc_id] = max(out[doc_id], v)
+            else:
+                out[doc_id] += v
         return dict(out)
 
     def _and(self, legs):

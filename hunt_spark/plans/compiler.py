@@ -28,7 +28,8 @@ Deliberate deviation from Hunt's native scorer: OR sums leg scores
 (standard disjunctive BM25) instead of Hunt's per-doc max; the pytest
 oracle defines rank-identity and mirrors this exactly.
 
-Final ranking: total = doc_weight * sum_cx(cx_weight * score_cx);
+Final ranking: total = doc_weight * sum_cx(cx_weight * score_cx)
+(hunt mode: max_cx — the Score-monoid fold of boostAndAggregateCx);
 tie-break (score DESC, url ASC) — Hunt's RankedDoc total order
 (Intermediate.hs:371-384).
 """
@@ -83,17 +84,18 @@ def _decode_zerofill(term_lc: Column) -> Column:
 
 
 def _gaussian_range_score(lo_norm: str, hi_norm: str) -> Column:
-    """exp(-(x-mu)^2 / (2 sigma^2)) with mu the midpoint and sigma the
-    half-width of the queried interval (degenerate interval -> 1.0)."""
+    """exp(-(x-mu)^2 / (2 sigma^2)) with mu the interval midpoint and
+    sigma = max(|mu|, 10) / 10 — the reference's similarRangeInt'/
+    similarFloat arithmetic (Hunt/Scoring/Keys.hs:78-90: `sigma x =
+    (abs x `max` 10.0) / 10.0`, a function of the midpoint only; the
+    reference computes in Float, here in IEEE double)."""
     def dec(z: str) -> int:
         v = int(z[1:])
         return v if z[0] == "1" else v - 10**20
 
     lo_v, hi_v = dec(lo_norm), dec(hi_norm)
     mu = (lo_v + hi_v) / 2.0
-    sigma = (hi_v - lo_v) / 2.0
-    if sigma <= 0:
-        return F.lit(1.0)
+    sigma = max(abs(mu), 10.0) / 10.0
     x = _decode_zerofill(F.col("term_lc"))
     return F.exp(-((x - F.lit(mu)) ** 2) / F.lit(2.0 * sigma * sigma))
 
@@ -451,12 +453,22 @@ class QueryCompiler:
     def collapse_contexts(self, scored: DataFrame) -> DataFrame:
         """Context dimension -> per-doc score with context weights
         (boostAndAggregateCx). Identity on already-collapsed (doc-level
-        boolean) results."""
+        boolean) results.
+
+        bm25 mode SUMS weighted contexts (the rebuild's ranking — a doc
+        matching in more fields ranks higher). hunt mode keeps the
+        per-doc MAX: boostAndAggregateCx folds boosted per-context
+        ScoredDocs with `<>` (Intermediate.hs:267-278), and the Score
+        monoid is max (Score.hs:66-71). Note the reference's retired
+        RankingTests.hs pinned SUM for this case, but that module is
+        commented out of the suite (test/Hunt.hs:16) and imports a
+        module that no longer exists; the live evaluator is max."""
         if "context" not in scored.columns:
             return scored
         w = self.stats.lit_map(
             {c: self.stats.context_weights.get(c, 1.0) for c in self.all_contexts}
         )
+        comb = F.max if self.scoring == "hunt" else F.sum
         return scored.groupBy("doc_id").agg(
-            F.sum(F.col("score") * w[F.col("context")]).alias("score")
+            comb(F.col("score") * w[F.col("context")]).alias("score")
         )

@@ -46,7 +46,14 @@ class IndexCatalog:
         if not os.path.exists(self.manifest_path):
             return []
         with open(self.manifest_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            entries = [json.loads(line) for line in f if line.strip()]
+        # monotonic commit sequence = manifest line index (the append
+        # order IS the commit order). Snapshot-id strings are ms-
+        # timestamp + random uuid, so two commits in the same ms would
+        # order randomly by id — staleness gates must compare seq.
+        for i, e in enumerate(entries):
+            e["seq"] = i
+        return entries
 
     def snapshots(self, table: str | None = None) -> list[dict]:
         m = self._manifest()

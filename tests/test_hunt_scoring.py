@@ -1,8 +1,12 @@
-"""Reference-native scoring mode: exact score arithmetic pinned the way
-Hunt's RankingTests pin theirs (test/Hunt/RankingTests.hs:92-145):
-word hit = sim x tf; boosts multiply; AND adds leg scores; OR keeps the
-per-doc max (Score monoid, Score.hs:66-71); a word in two weight-1
-contexts scores 2.0; final = doc_weight x sum_cx(cx_weight x score)."""
+"""Reference-native scoring mode, pinned to the LIVE evaluator's
+arithmetic: word hit = sim x tf (Intermediate.hs:432-437); boosts
+multiply; AND adds leg scores (intersectionWith (<+>)); OR keeps the
+per-doc max (Score monoid, Score.hs:66-71); contexts collapse with the
+same Score monoid, i.e. per-doc MAX across contexts
+(boostAndAggregateCx, Intermediate.hs:267-278) — so a word hit in two
+weight-1 contexts scores 1.0, not 2.0. (The retired RankingTests.hs
+pinned 2.0, but it is commented out of the reference suite,
+test/Hunt.hs:16, and imports a module that no longer exists.)"""
 
 from __future__ import annotations
 
@@ -72,8 +76,10 @@ def test_and_adds_boosted_legs(hunt_engine):
     )
 
 
-def test_word_in_two_weight1_contexts_scores_2(hunt_engine):
-    assert math.isclose(_score_of(hunt_engine, "'word'", "uB"), 2.0)
+def test_word_in_two_weight1_contexts_scores_1(hunt_engine):
+    # boostAndAggregateCx folds contexts with the Score monoid (max):
+    # a tf=1 hit in both title and body collapses to 1.0, not 2.0
+    assert math.isclose(_score_of(hunt_engine, "'word'", "uB"), 1.0)
 
 
 def test_tf_counts(hunt_engine):

@@ -175,7 +175,9 @@ def test_gaussian_int_range_hunt_mode(spark, tmp_path_factory):
     # midpoint 2005 first, symmetric decay outward, edges last
     assert [r["url"] for r in got] == ["u2005", "u2003", "u2007", "u2000", "u2010"]
     assert m.isclose(got[0]["score"], 1.0)
-    assert m.isclose(got[1]["score"], m.exp(-(2.0**2) / (2 * 5.0**2)))
+    # Keys.hs sigma = max(|mu|, 10)/10 = 200.5 for mu=2005
+    sigma = max(abs(2005.0), 10.0) / 10.0
+    assert m.isclose(got[1]["score"], m.exp(-(2.0**2) / (2 * sigma**2)))
 
     ids = {
         r["url"]: r["id"]
