@@ -93,3 +93,62 @@ def test_wand_fallback_on_multi_context(engine):
 def test_wand_rejects_unshaped_when_forced(wand_engine):
     with pytest.raises(ValueError):
         wand_engine.search('"pinky and the brain"', k=K, use_wand=True)
+
+
+def test_wand_forced_names_gate_reason_when_unavailable(engine):
+    # WAND-able shape, but the session engine's gate is closed
+    # (multi-context index): the error must say why, not claim the
+    # query shape is wrong
+    with pytest.raises(RuntimeError, match="WAND unavailable: multi-context"):
+        engine.search("'brain' OR 'pinky'", k=K, use_wand=True)
+
+
+def test_xxhash64_driver_twin_matches_jvm(spark):
+    """Shard pruning relies on a driver-side xxhash64 twin; pin parity
+    with Spark's expression over representative lengths (tail paths:
+    0/4/1-byte; word path; 32-byte stripes) and non-ASCII."""
+    from hunt_spark.functions.xxh64 import spark_xxhash64
+
+    words = ["", "a", "abc", "brain", "pinky", "12345678", "x" * 15,
+             "y" * 31, "z" * 32, "w" * 100, "heiß-über-straße", "漢字"]
+    got = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    }
+    for w in words:
+        assert got[w] == spark_xxhash64(w), w
+
+
+@pytest.mark.parametrize("q", ["'the'", "'the' OR 'brain'", "'the' 'and' 'of'"])
+def test_wand_bounded_stats_collect_identical(wand_engine, q):
+    """Force a tiny driver cap: stats must be grouped executor-side
+    (granularity > 1, rows <= cap + slack) and results must stay
+    rank+score identical — group-level pruning is exact by
+    construction (group max >= member max)."""
+    from hunt_spark.plans.wand import WandExecutor, compile_wand as cw
+
+    wx = wand_engine.wand()
+    tiny = WandExecutor(
+        wand_engine.spark, wx.blocks, wand_engine.cfg.n_shards,
+        wx.n_docs, wx.avg_dl, max_stats_rows=4,
+    )
+    op, legs = cw(parse_query(q))
+    full = wand_engine.search(q, k=K, use_wand=False).collect()
+    cand = tiny.topk_candidates(op, legs, K, ("text",))
+    got = (
+        wand_engine.compiler().collapse_contexts(cand)
+        .join(wand_engine.doc_meta().select("doc_id", "url", "weight"), "doc_id")
+        .select("doc_id", (F.col("score") * F.col("weight")).alias("score"), "url")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(K)
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in full]
+    for a, b in zip(got, full):
+        assert math.isclose(a["score"], b["score"], rel_tol=0, abs_tol=1e-9)
+    st = tiny.last_stats
+    assert st["granularity"] > 1, st
+    # the bound: grouped rows <= cap + one partial group per (cx, term)
+    assert st["stats_rows_collected"] <= 4 + len(legs), st
