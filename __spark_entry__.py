@@ -159,12 +159,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 frame_bytes=64, every_n=4, max_frames=8,
             ).select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
         ),
+        # payload = the doc's 64-char text prefix: prefix-sharing docs
+        # (the corpus's near-dup families) get byte-identical payloads,
+        # hence identical fake features and cosine exactly 1 — so the
+        # LSH bucketing + exact-verify pipeline produces a non-empty,
+        # SQL-predictable pair set (see oracle comment)
         "mm_near_dup": lambda spark, sf_dir: (
             mm.near_dup_by_features(
                 mm.decode_image(
-                    mm.attach_payload(_docs(spark, sf_dir)), dim=32, fake=True
+                    mm.attach_payload(
+                        _docs(spark, sf_dir).withColumn(
+                            "prefix64", F.substring("text", 1, 64)
+                        ),
+                        source_col="prefix64",
+                    ),
+                    dim=32,
+                    fake=True,
                 ),
                 threshold=0.999,
+                dim=32,
             ).select(
                 "doc_id_a", "doc_id_b",
                 F.round(F.col("cosine") * 10000).cast("long").alias("cosine_x1e4"),
@@ -248,6 +261,59 @@ JOIN sizes sb ON sb.doc_id = doc_id_b
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
 
+# SimHash twin: FNV-1a-64 over each term's Unicode code points
+# (textops._fnv1a64_batch), tf-weighted bit votes, 16-bit pigeonhole
+# chunks, hamming via bit_count(xor). HUGEINT keeps the u64 arithmetic
+# exact; the final CAST maps back to Spark's signed long.
+_SIMHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+th AS (
+  SELECT doc_id, tf,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(regexp_extract_all(term, '.'),
+                                       c -> unicode(c)::HUGEINT)),
+           (h, cp) -> (xor(h::UBIGINT, cp::UBIGINT)::HUGEINT
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT
+         ) AS h
+  FROM tf
+),
+votes AS (
+  SELECT doc_id, g.i AS bit,
+         sum(CASE WHEN (h::UBIGINT >> g.i) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th, generate_series(0, 63) g(i) GROUP BY 1, 2
+),
+shu AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY 1
+),
+sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END
+              AS BIGINT) AS simhash,
+         u
+  FROM shu
+),
+chunks AS (
+  SELECT doc_id, simhash,
+         g.c AS chunk_id,
+         CAST((u >> (g.c * 16)) % 65536 AS BIGINT) AS chunk
+  FROM sh, generate_series(0, 3) g(c)
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 _COSINE_TOPK = """
 WITH pairs AS (
   SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
@@ -258,6 +324,64 @@ WITH pairs AS (
          AS c
   FROM embeddings a, embeddings b
   WHERE a.vec_id IN (0, 1, 2, 3, 4) AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         CAST(round(c * 10000) AS BIGINT) AS cosine_x1e4,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY CAST(round(c * 10000) AS BIGINT) DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, cosine_x1e4, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _lsh_ann_oracle() -> str:
+    """ANN is deterministic, not heuristic: signatures are sign bits of
+    dot products against FIXED literal hyperplanes (similarity.py
+    _hyperplanes, Philox seed 42), probe buckets are the signature plus
+    its 8 one-bit flips, and ranking is exact cosine on candidates —
+    all expressible in SQL. The oracle regenerates the same planes and
+    mirrors every step, so the gate checks the LSH path end to end."""
+    from hunt_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    bits = []
+    for i, pl in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in pl) + "]"
+        proj = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    sig_expr = "\n         + ".join(bits)
+    flips = ", ".join(f"({b})" for b in [0] + [1 << i for i in range(8)])
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {sig_expr} AS sig FROM embeddings
+),
+probes AS (
+  SELECT s.vec_id AS probe_id, xor(s.sig::BIGINT, f.b::BIGINT) AS sig2
+  FROM sig s, (VALUES {flips}) f(b)
+  WHERE s.vec_id IN (0, 1, 2, 3, 4)
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN sig c ON c.sig = p.sig2 AND c.vec_id != p.probe_id
+),
+pairs AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         AS c
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.probe_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT probe_id, neighbor_id,
@@ -398,10 +522,11 @@ def oracle_sql() -> dict[str, str]:
         # LSH with bands=8/rows=1 at this jaccard separation finds the
         # exact pair set — verified against the exhaustive oracle.
         "dedup_minhash_lsh": _SHINGLE_PAIRS,
-        # dedup_simhash: no SQL oracle (hash function not expressible) —
-        # driver records rows-only check.
+        "dedup_simhash": _SIMHASH_PAIRS,
         "emb_cosine_topk": _COSINE_TOPK,
-        # emb_ann_lsh: approximate by design — rows-only check.
+        # "approximate" w.r.t. exact kNN, but fully deterministic given
+        # the fixed hyperplanes — the oracle replays the same plan
+        "emb_ann_lsh": _lsh_ann_oracle(),
         "mm_payload_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -420,8 +545,20 @@ def oracle_sql() -> dict[str, str]:
             FROM d, generate_series(0, 28, 4) g(j)
             WHERE g.j < least(CAST(ceil(nb / 64.0) AS BIGINT), 32)
         """,
-        # mm_near_dup: fake decode kernel (sha256 expansion) not SQL-
-        # expressible — rows-only check.
+        # The fake decode kernel expands sha256(payload) into features,
+        # so byte-identical payloads (same 64-char text prefix) map to
+        # identical vectors with cosine exactly 1 (rounds to 10000),
+        # and ANY differing payload decorrelates completely: a random
+        # 32-dim cosine is N(0, 1/32), so reaching the 0.999 threshold
+        # would take a 5.6-sigma fluke (~1e-8/pair) — the pair set is
+        # exactly the identical-prefix pairs, expressible in SQL.
+        "mm_near_dup": """
+            WITH p AS (SELECT doc_id, substring(text, 1, 64) AS pp
+                       FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(10000 AS BIGINT) AS cosine_x1e4
+            FROM p a JOIN p b ON a.pp = b.pp AND a.doc_id < b.doc_id
+        """,
         "cmp_query_and": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term

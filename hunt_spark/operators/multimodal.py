@@ -146,7 +146,8 @@ def frame_sample(
 
 
 def near_dup_by_features(
-    feats: DataFrame, threshold: float = 0.95, n_bands: int = 8
+    feats: DataFrame, threshold: float = 0.95, n_bands: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup over decoded features: sign-random-
     projection LSH bucketing (cheap candidate generation, one shuffle)
@@ -155,13 +156,15 @@ def near_dup_by_features(
 
     feats: (doc_id, features array<float>).
     Returns (doc_id_a, doc_id_b, cosine) with doc_id_a < doc_id_b.
+    Pass ``dim`` when known to skip the dimension-probe job.
     """
-    dim_row = feats.select(F.size("features").alias("d")).first()
-    if dim_row is None:
-        return feats.sparkSession.createDataFrame(
-            [], "doc_id_a long, doc_id_b long, cosine double"
-        )
-    dim = dim_row["d"]
+    if dim is None:
+        dim_row = feats.select(F.size("features").alias("d")).first()
+        if dim_row is None:
+            return feats.sparkSession.createDataFrame(
+                [], "doc_id_a long, doc_id_b long, cosine double"
+            )
+        dim = dim_row["d"]
     rng = np.random.Generator(np.random.Philox(key=[7, dim]))
     planes = rng.normal(size=(n_bands, dim)).astype(np.float64)
 

@@ -288,44 +288,82 @@ def minhash_lsh_pairs(
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv1a64_batch(terms: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit over each term's Unicode code points, fully
+    vectorized: one UTF-32 encode of the concatenated batch, then the
+    fold iterates over code-point POSITIONS (bounded by the longest
+    term), not over terms. Defined on code points (== bytes for ASCII)
+    so the DuckDB oracle can reproduce it with unicode()/list_reduce.
+    """
+    if len(terms) == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+    cps = np.frombuffer("".join(terms).encode("utf-32-le"), dtype=np.uint32)
+    starts = np.zeros(len(terms), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    maxlen = int(lens.max())
+    mat = np.zeros((len(terms), maxlen), dtype=np.uint64)
+    pos = starts[:, None] + np.arange(maxlen)[None, :]
+    valid = np.arange(maxlen)[None, :] < lens[:, None]
+    mat[valid] = cps[pos[valid]]
+    h = np.full(len(terms), _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = valid[:, j]
+            h[active] = (h[active] ^ mat[active, j]) * prime
+    return h
+
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-term xxhash-like bit votes weighted by tf.
-    The bit-vote kernel is a vectorized Arrow UDF (numpy), the rest is
-    DataFrame ops."""
+    """64-bit SimHash: per-term FNV-1a(code points) bit votes weighted
+    by tf. The kernel is fully vectorized numpy over the whole Arrow
+    batch — terms are hashed once per batch-distinct term, bit votes
+    accumulate with one scatter-add — no per-term Python loop."""
     toks = _spread(docs).select("doc_id", tokenize_col(text_col).alias("t")).filter(
         F.size("t") > 0
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        mask = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for bdf in batches:
-            out = []
-            for toks_arr in bdf["t"]:
-                terms, tf = np.unique(np.asarray(toks_arr, dtype=object), return_counts=True)
-                # FNV-1a 64-bit per term (deterministic, no deps)
-                hashes = np.fromiter(
-                    (_fnv1a64(t) for t in terms), dtype=np.uint64, count=len(terms)
-                )
-                bits = ((hashes[:, None] & mask[None, :]) != 0).astype(np.int64)
-                votes = ((bits * 2 - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
-                sh = np.uint64(0)
-                for i in range(64):
-                    if votes[i] > 0:
-                        sh |= np.uint64(1) << np.uint64(i)
-                out.append(np.int64(sh.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": bdf["doc_id"], "simhash": out})
+            n_docs = len(bdf)
+            if n_docs == 0:
+                yield pd.DataFrame({"doc_id": [], "simhash": []})
+                continue
+            tok_lists = [np.asarray(t, dtype=object) for t in bdf["t"]]
+            all_toks = np.concatenate(tok_lists)
+            doc_idx = np.repeat(
+                np.arange(n_docs), [len(t) for t in tok_lists]
+            )
+            uniq, inv = np.unique(all_toks, return_inverse=True)
+            hashes = _fnv1a64_batch(uniq)
+            # per (doc, term) tf via one unique over the combined key
+            key = doc_idx.astype(np.int64) * len(uniq) + inv
+            pair_key, tf = np.unique(key, return_counts=True)
+            pair_doc = pair_key // len(uniq)
+            pair_term = pair_key % len(uniq)
+            bits = ((hashes[pair_term][:, None] & mask[None, :]) != 0).astype(
+                np.int64
+            )
+            contrib = (bits * 2 - 1) * tf[:, None].astype(np.int64)
+            votes = np.zeros((n_docs, 64), dtype=np.int64)
+            np.add.at(votes, pair_doc, contrib)
+            sh = ((votes > 0).astype(np.uint64) * mask[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": bdf["doc_id"],
+                    "simhash": sh.astype(np.int64),
+                }
+            )
 
     return toks.mapInPandas(kernel, schema=SIMHASH_SCHEMA)
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    prime = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for byt in s.encode("utf-8"):
-            h = (h ^ np.uint64(byt)) * prime
-    return h
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
