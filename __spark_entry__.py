@@ -77,6 +77,16 @@ def _q_search_word_limited(q: str, word_limit: int, k: int = 10):
     return run
 
 
+def _q_search_doc_limited(q: str, doc_limit: int, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        lim = HuntEngine(spark, eng.catalog.root, eng.cfg, doc_limit=doc_limit)
+        n = eng.doc_meta().count()
+        return _ranked(lim.search(q, k=n, use_wand=False), k)
+
+    return run
+
+
 def _q_select(q: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _engine(spark, sf_dir).select(q)
@@ -105,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_wand_or": _q_search("'spark' OR 'hash'", use_wand=True),
         # Hunt wordLimit knob: prefix expansion capped shortest-first
         "idx_prefix_word_limit": _q_search_word_limited("sc", word_limit=3),
+        # Hunt docLimit knob: scan truncated at a cumulative doc budget
+        # in word order (Intermediate.hs:327-342 limitRawResult)
+        "idx_prefix_doc_limit": _q_search_doc_limited("sc", doc_limit=5),
         "idx_completion": lambda spark, sf_dir: (
             # rank on the fixed-point score (limit after rounding) so the
             # top-10 cut is bit-identical to the oracle's
@@ -463,6 +476,18 @@ def oracle_sql() -> dict[str, str]:
         "idx_wand_or": _bm25(
             "SELECT doc_id, sum(idf * tfn) AS s FROM sc "
             "WHERE term IN ('spark','hash') GROUP BY doc_id"
+        ),
+        # cumulative-doc-budget truncation mirrored in SQL: words in
+        # word order, keep while the budget before the word is unspent
+        "idx_prefix_doc_limit": _bm25(
+            f"SELECT doc_id, max(({sim_sc}) * idf * tfn) AS s FROM sc "
+            "WHERE term IN (SELECT term FROM ("
+            "  SELECT term, df, sum(df) OVER (ORDER BY term "
+            "    ROWS UNBOUNDED PRECEDING) AS cum"
+            "  FROM (SELECT term, count(*) AS df FROM sc "
+            "        WHERE term LIKE 'sc%' GROUP BY term))"
+            "  WHERE cum - df < 5) "
+            "GROUP BY doc_id"
         ),
         # shortest-first expansion cap (3 terms) mirrored in SQL
         "idx_prefix_word_limit": _bm25(

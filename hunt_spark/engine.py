@@ -30,13 +30,16 @@ class HuntEngine:
         catalog_root: str,
         cfg: BuildConfig | None = None,
         word_limit: int = 0,
+        doc_limit: int = 0,
         scoring: str = "bm25",
     ):
         self.spark = spark
         self.catalog = IndexCatalog(catalog_root)
         self.cfg = cfg or BuildConfig()
-        # Hunt's wordLimit query knob (Processor.hs:79-90); 0 = exact
+        # Hunt's wordLimit / docLimit query knobs (Processor.hs:79-90,
+        # reference defaults 100/500); 0 = exact — the default here
         self.word_limit = word_limit
+        self.doc_limit = doc_limit
         # "bm25" (north-star ranking) | "hunt" (reference-native
         # sim*tf arithmetic, OR=max — RankingTests parity mode)
         self.scoring = scoring
@@ -126,6 +129,7 @@ class HuntEngine:
                 stats,
                 self.cfg.n_shards,
                 word_limit=self.word_limit,
+                doc_limit=self.doc_limit,
                 context_norms=norms,
                 scoring=self.scoring,
                 context_types=self.cfg.context_types,

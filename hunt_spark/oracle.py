@@ -44,11 +44,13 @@ def sim(searched: str, found: str) -> float:
 class OracleIndex:
     def __init__(
         self, docs, context_texts, context_weights=None, word_limit=0,
+        doc_limit=0,
         context_norms=None,
         scoring="bm25",
         context_types=None,
     ):
         self.word_limit = word_limit
+        self.doc_limit = doc_limit
         self.scoring = scoring
         self.context_types = context_types or {}
         # per-context query-constant normalizers (typed contexts);
@@ -124,6 +126,21 @@ class OracleIndex:
             if ok and (allowed is None or t.lower() in allowed):
                 yield t
 
+    def _limit_docs(self, cx, terms):
+        """Hunt docLimit truncation (Intermediate.hs:327-342): keep
+        words in word order until their cumulative doc count reaches
+        the limit; the crossing word stays."""
+        terms = sorted(terms)
+        if self.doc_limit <= 0:
+            return terms
+        out, budget = [], self.doc_limit
+        for t in terms:
+            out.append(t)
+            budget -= len(self.postings[(cx, t)])
+            if budget <= 0:
+                break
+        return out
+
     def _scan(self, word, op, prefix, cxs, raw):
         out = {}  # (cx, doc) -> [score, positions set]
         for cx in cxs:
@@ -131,7 +148,7 @@ class OracleIndex:
             w = norm(word) if norm else word
             if w is None:
                 continue
-            for t in self._matching_terms(cx, w, op, prefix):
+            for t in self._limit_docs(cx, self._matching_terms(cx, w, op, prefix)):
                 s_term = sim(w, t)
                 if s_term <= 0:
                     continue
@@ -172,10 +189,11 @@ class OracleIndex:
                 # Keys.hs:78-90: sigma = max(|mu|, 10) / 10, midpoint-only
                 mu = (dec(lo_cx) + dec(hi_cx)) / 2.0
                 sigma = max(abs(mu), 10.0) / 10.0
-            for t in self.terms_by_cx[cx]:
+            in_range = [
+                t for t in self.terms_by_cx[cx] if lo_cx <= t.lower() <= hi_cx
+            ]
+            for t in self._limit_docs(cx, in_range):
                 tl = t.lower()
-                if not (lo_cx <= tl <= hi_cx):
-                    continue
                 idf = self.idf(cx, tl)
                 for doc_id, poss in self.postings[(cx, t)].items():
                     if gaussian:

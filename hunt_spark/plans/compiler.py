@@ -121,6 +121,7 @@ class QueryCompiler:
         n_shards: int,
         all_contexts: list[str] | None = None,
         word_limit: int = 0,
+        doc_limit: int = 0,
         context_norms: dict | None = None,
         scoring: str = "bm25",
         context_types: dict | None = None,
@@ -140,6 +141,13 @@ class QueryCompiler:
         # (StringMap toListShortestFirst order). 0 = exact/unlimited —
         # the default here and what the oracle gate pins.
         self.word_limit = word_limit
+        # Hunt's docLimit knob (Processor.hs:79-90, default 500 there;
+        # truncation Intermediate.hs:327-342 limitRawResult): every
+        # primary scan keeps matched words in word order until their
+        # cumulative doc count reaches the limit, always keeping the
+        # word that crosses it. 0 = exact/unlimited (the default here
+        # and what the oracle gate pins).
+        self.doc_limit = doc_limit
         # "bm25" (the rebuild's ranking per the north star) or "hunt"
         # (the reference's native arithmetic: word hit = sim * tf,
         # OR keeps per-doc MAX of leg scores — Score monoid,
@@ -235,6 +243,7 @@ class QueryCompiler:
                 .drop("_rn")
             )
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
+        j = self._apply_doc_limit(j)
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]
         if self.scoring == "hunt":
@@ -282,6 +291,33 @@ class QueryCompiler:
             u = u.unionByName(p)
         return u
 
+    def _apply_doc_limit(self, j: DataFrame) -> DataFrame:
+        """Hunt docLimit truncation (Intermediate.hs:327-342
+        limitRawResult via Processor.hs:630-631/646-647): per context,
+        keep matched words in word order (the raw-result order — the
+        prefix tree's key order, i.e. lexicographic on the stored cased
+        word), accumulating each word's doc count, until the cumulative
+        count reaches the limit; the crossing word is kept whole.
+        ``j`` is the postings-side scan (one row per (context, term,
+        doc)), so count(*) per (context, term) is that word's doc count.
+        """
+        if self.doc_limit <= 0:
+            return j
+        from pyspark.sql.window import Window
+
+        tdf = j.groupBy("context", "term").agg(F.count("*").alias("_df"))
+        w = (
+            Window.partitionBy("context")
+            .orderBy("term")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        allowed = (
+            tdf.withColumn("_cum", F.sum("_df").over(w))
+            .filter(F.col("_cum") - F.col("_df") < F.lit(self.doc_limit))
+            .select("context", "term")
+        )
+        return j.join(F.broadcast(allowed), ["context", "term"], "left_semi")
+
     def _scan_range_one(self, lo: str, hi: str, cxs: tuple) -> DataFrame:
         p = self.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(F.col("term_lc").between(lo.lower(), hi.lower()))
@@ -289,6 +325,7 @@ class QueryCompiler:
             F.col("term_lc").between(lo.lower(), hi.lower())
         ).select("context", "term_lc", "df")
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
+        j = self._apply_doc_limit(j)
         n = self._n_map[F.col("context")]
         avgdl = self._avgdl_map[F.col("context")]
         if self.scoring == "hunt":

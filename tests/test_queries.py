@@ -104,6 +104,39 @@ def test_word_limit_parity(spark, engine, oracle):
     assert n_limited < n_full
 
 
+def test_doc_limit_parity(spark, engine, oracle):
+    """Hunt's docLimit knob (Processor.hs:79-90, default 500 there;
+    truncation Intermediate.hs:327-342): every primary scan keeps
+    matched words in word order until their cumulative doc count
+    reaches the limit, keeping the crossing word whole. Engine and
+    oracle must agree under the cap, and the cap must bite."""
+    from hunt_spark.engine import HuntEngine
+
+    limited = HuntEngine(spark, engine.catalog.root, engine.cfg, doc_limit=3)
+    old = oracle.doc_limit
+    oracle.doc_limit = 3
+    try:
+        for q in ("bra", "'the'", "[ba TO bd]"):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in limited.search(q, k=10, use_wand=False).collect()
+            ]
+            want = oracle.search(q, k=10)
+            assert [g[0] for g in got] == [w[0] for w in want], q
+            for g, w in zip(got, want):
+                assert math.isclose(g[1], w[2], abs_tol=1e-6)
+    finally:
+        oracle.doc_limit = old
+    n_limited = limited.search("bra", k=100000, use_wand=False).count()
+    n_full = engine.search("bra", k=100000, use_wand=False).count()
+    assert n_limited < n_full
+    # a single word whose df exceeds the limit survives whole (the
+    # crossing word is kept): result set identical to the exact plan
+    n_hot = limited.search("'the'", k=100000, use_wand=False).count()
+    n_hot_full = engine.search("'the'", k=100000, use_wand=False).count()
+    assert n_hot == n_hot_full > 3
+
+
 def test_case_sensitive_excludes_lowercase(engine, oracle):
     # only the planted doc 1 contains capital "Brain"
     got, want = run_both(engine, oracle, "!Brain")
