@@ -232,7 +232,19 @@ class HuntEngine:
             scored = c.eval(ast)
         scored = c.collapse_contexts(scored)
         extra = [f for f in (fields or []) if f not in ("doc_id", "url", "weight")]
-        meta = self.doc_meta().select("doc_id", "url", "weight", *extra)
+        dm = self.doc_meta()
+        # a field names either a doc_meta column or a description key
+        # (Hunt mkSelect projects from the stored DocDesc,
+        # Interpreter.hs:585-593)
+        proj = []
+        for f in extra:
+            if f in dm.columns:
+                proj.append(F.col(f))
+            elif "description" in dm.columns:
+                proj.append(F.try_element_at("description", F.lit(f)).alias(f))
+            else:
+                raise KeyError(f"unknown field {f!r}")
+        meta = dm.select("doc_id", "url", "weight", *proj)
         res = scored.join(meta, "doc_id").select(
             "doc_id",
             "url",
@@ -347,7 +359,9 @@ class HuntEngine:
             mode="append",
         )
         meta_cols = [
-            c for c in ("doc_id", "url", "weight", "lang", "warc_ts") if c in docs.columns
+            c
+            for c in ("doc_id", "url", "weight", "lang", "warc_ts", "description")
+            if c in docs.columns
         ]
         self.catalog.commit(
             docs.select(*meta_cols), "doc_meta", "insert/meta", mode="append"
@@ -358,16 +372,21 @@ class HuntEngine:
             self._invalidate()
 
     def update(self, docs: DataFrame, context_cols: dict[str, Column]) -> None:
-        """Hunt Update (Interpreter.hs:488-504 modifyWithDescription):
-        re-index the given documents. MERGE-style rewrite — old rows of
-        the updated doc ids are anti-joined out and the fresh postings/
-        metadata appended in one new base snapshot (a tombstone cannot
-        express 'old rows only': it would also kill the re-inserted
-        doc_id). On Iceberg this is MERGE INTO, rewriting only the
-        matching files."""
+        """Hunt Update (Interpreter.hs:488-504 -> ContextIndex.hs:326-354
+        modifyWithDescription): re-index the given documents and MERGE
+        their metadata. Descriptions merge key-wise — new keys win,
+        untouched old keys survive, a null value in the new description
+        deletes the key (``flip DocDesc.union`` + ``deleteNull``; golden
+        behavior mirrored from test/Hunt/InterpreterTests.hs:479-528).
+        The doc weight updates only when the update provides one
+        (``updateWeight`` keeps the old weight on noScore).
+
+        Postings are a MERGE-style rewrite — old rows of the updated doc
+        ids are anti-joined out and fresh postings appended in one new
+        base snapshot (a tombstone cannot express 'old rows only': it
+        would also kill the re-inserted doc_id). On Iceberg this is
+        MERGE INTO, rewriting only the matching files."""
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
-        if "weight" not in docs.columns:
-            docs = docs.withColumn("weight", F.lit(1.0))
         ids = docs.select("doc_id")
         new_p = postings_from_contexts(docs, context_cols, self.cfg)
         merged = self._postings().join(ids, "doc_id", "left_anti").unionByName(new_p)
@@ -375,13 +394,48 @@ class HuntEngine:
             merged, "postings", "update/postings",
             partition_by=["context", "shard"], sort_within_by=["term_lc", "doc_id"],
         )
-        meta_cols = [
-            c for c in ("doc_id", "url", "weight", "lang", "warc_ts")
+        old = self.doc_meta()
+        if "description" not in old.columns:
+            old = old.withColumn(
+                "description", F.lit(None).cast("map<string,string>")
+            )
+        untouched = old.join(ids, "doc_id", "left_anti")
+        old_rows = old.join(ids, "doc_id", "left_semi").select(
+            "doc_id",
+            *[F.col(c).alias(f"_old_{c}") for c in old.columns if c != "doc_id"],
+        )
+        upd_cols = [
+            c
+            for c in ("doc_id", "url", "weight", "lang", "warc_ts", "description")
             if c in docs.columns
         ]
-        m = self.doc_meta().join(ids, "doc_id", "left_anti").unionByName(
-            docs.select(*meta_cols), allowMissingColumns=True
-        )
+        # left join: an Update may also introduce brand-new docs (Hunt's
+        # Update inserts when the URI is unknown)
+        j = docs.select(*upd_cols).join(old_rows, "doc_id", "left")
+        empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+        sel = [F.col("doc_id"), F.col("url")]
+        if "weight" in docs.columns:
+            sel.append(F.col("weight"))
+        else:  # noScore -> keep the old weight
+            sel.append(F.coalesce(F.col("_old_weight"), F.lit(1.0)).alias("weight"))
+        for c in ("lang", "warc_ts"):
+            if c in docs.columns:
+                sel.append(F.col(c))
+            elif f"_old_{c}" in j.columns:
+                sel.append(F.col(f"_old_{c}").alias(c))
+        if "description" in docs.columns:
+            old_d = F.coalesce(F.col("_old_description"), empty_map)
+            new_d = F.coalesce(F.col("description"), empty_map)
+            merged_d = F.map_concat(
+                F.map_filter(
+                    old_d, lambda k, _v: ~F.array_contains(F.map_keys(new_d), k)
+                ),
+                F.map_filter(new_d, lambda _k, v: v.isNotNull()),
+            )
+            sel.append(merged_d.alias("description"))
+        else:  # no new description -> keep the old one untouched
+            sel.append(F.col("_old_description").alias("description"))
+        m = untouched.unionByName(j.select(*sel), allowMissingColumns=True)
         self.catalog.commit(m, "doc_meta", "update/doc_meta")
         self._refresh_stats()
 

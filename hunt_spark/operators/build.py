@@ -4,9 +4,12 @@ IndexWriter.hs:78-176).
 
 Stages (each committed as a catalog snapshot; resumable):
 
-1. ``doc_meta``  — (doc_id, url, weight, lang, warc_ts); doc_id =
-   xxhash64(url) (Hunt uses Murmur64 of the URI, DocId.hs:76-77 — same
-   role: deterministic 64-bit id, no global id-assignment shuffle).
+1. ``doc_meta``  — (doc_id, url, weight, lang, warc_ts [, description
+   map<string,string>]); doc_id = xxhash64(url) (Hunt uses Murmur64 of
+   the URI, DocId.hs:76-77 — same role: deterministic 64-bit id, no
+   global id-assignment shuffle). ``description`` is Hunt's arbitrary
+   per-doc key/value payload (DocDesc.hs:38-44) with values carried as
+   strings (typed values JSON-encoded — the FV_Json convention).
 2. ``postings``  — (context, shard, term, term_lc, doc_id, tf, dl,
    positions). Built **map-side**: tokens of one document live in one
    row, so the (term -> positions) inversion happens inside an Arrow
@@ -437,7 +440,11 @@ def build_index(
     if "weight" not in docs.columns:
         docs = docs.withColumn("weight", F.lit(1.0))
 
-    meta_cols = [c for c in ("doc_id", "url", "weight", "lang", "warc_ts") if c in docs.columns]
+    meta_cols = [
+        c
+        for c in ("doc_id", "url", "weight", "lang", "warc_ts", "description")
+        if c in docs.columns
+    ]
     stage(
         "doc_meta",
         lambda key: catalog.commit(docs.select(*meta_cols), "doc_meta", key),

@@ -74,3 +74,65 @@ def test_search_field_selection(eng):
     assert res.columns == ["doc_id", "url", "score", "lang", "warc_ts"]
     rows = res.collect()
     assert rows and all(r["lang"] in ("en", "de") for r in rows)
+
+
+def test_update_merges_description(spark, tmp_path_factory):
+    """Golden merge semantics from the reference
+    (test/Hunt/InterpreterTests.hs:479-528 via ContextIndex.hs:326-354
+    modifyWithDescription): brainDoc carries {name: Brain, mission:
+    take over the world, legs: 4}; updating with {name: Pinky, mission:
+    ask stupid questions} yields the MERGED description — new keys win,
+    untouched old keys survive. A null value deletes its key
+    (DocDesc.deleteNull); an update without a weight keeps the old
+    weight (updateWeight on noScore)."""
+    e = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("desc_idx")),
+        BuildConfig(n_shards=2, salt_buckets=1),
+    )
+    brain = spark.createDataFrame(
+        [("test://0", "Brain",
+          {"name": "Brain", "mission": "take over the world", "legs": "4"},
+          2.0)],
+        "url string, text string, description map<string,string>, weight double",
+    )
+    e.build(brain, {"default": F.col("text")}, build_id="d")
+
+    upd = spark.createDataFrame(
+        [("test://0", "Brain",
+          {"name": "Pinky", "mission": "ask stupid questions"})],
+        "url string, text string, description map<string,string>",
+    )
+    e.update(upd, {"default": F.col("text")})
+    row = e.doc_meta().collect()[0]
+    assert row["description"] == {
+        "name": "Pinky", "mission": "ask stupid questions", "legs": "4",
+    }
+    assert row["weight"] == 2.0  # no weight in the update -> old kept
+
+    # field projection pulls description keys (Hunt mkSelect)
+    r = e.search("!'Brain'", k=1, fields=["mission", "legs"]).collect()[0]
+    assert (r["mission"], r["legs"]) == ("ask stupid questions", "4")
+
+    # null value deletes the key; provided weight replaces
+    upd2 = spark.createDataFrame(
+        [("test://0", "Brain", {"legs": None, "arms": "2"}, 5.0)],
+        "url string, text string, description map<string,string>, weight double",
+    )
+    e.update(upd2, {"default": F.col("text")})
+    row = e.doc_meta().collect()[0]
+    assert row["description"] == {
+        "name": "Pinky", "mission": "ask stupid questions", "arms": "2",
+    }
+    assert row["weight"] == 5.0
+
+    # update may introduce a brand-new doc (Hunt Update inserts unknown
+    # URIs) — it gets its own description, no old row to merge
+    upd3 = spark.createDataFrame(
+        [("test://1", "Pinky", {"name": "Pinky"})],
+        "url string, text string, description map<string,string>",
+    )
+    e.update(upd3, {"default": F.col("text")})
+    by_url = {r["url"]: r for r in e.doc_meta().collect()}
+    assert by_url["test://1"]["description"] == {"name": "Pinky"}
+    assert by_url["test://1"]["weight"] == 1.0
