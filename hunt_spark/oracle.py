@@ -192,6 +192,15 @@ class OracleIndex:
             in_range = [
                 t for t in self.terms_by_cx[cx] if lo_cx <= t.lower() <= hi_cx
             ]
+            if self.context_types.get(cx) == "geo":
+                # rect containment on de-interleaved axes
+                # (PrefixTreeIndex2Dim.hs:96 Dim2Search.lookupRange)
+                in_range = [
+                    t
+                    for t in in_range
+                    if lo_cx[0::2] <= t[0::2] <= hi_cx[0::2]
+                    and lo_cx[1::2] <= t[1::2] <= hi_cx[1::2]
+                ]
             for t in self._limit_docs(cx, in_range):
                 tl = t.lower()
                 idf = self.idf(cx, tl)

@@ -291,6 +291,16 @@ class QueryCompiler:
             u = u.unionByName(p)
         return u
 
+    @staticmethod
+    def _geo_rect_pred(lo: str, hi: str) -> Column:
+        """Exact in-rect predicate over z-interleaved '0'/'1' terms:
+        every even-position char (lat axis) and odd-position char (lon
+        axis) substring must fall in the corners' per-axis ranges —
+        fixed-length bit strings order lexicographically == numerically."""
+        lat = F.regexp_replace(F.col("term_lc"), "(.)(.)", "$1")
+        lon = F.regexp_replace(F.col("term_lc"), "(.)(.)", "$2")
+        return lat.between(lo[0::2], hi[0::2]) & lon.between(lo[1::2], hi[1::2])
+
     def _apply_doc_limit(self, j: DataFrame) -> DataFrame:
         """Hunt docLimit truncation (Intermediate.hs:327-342
         limitRawResult via Processor.hs:630-631/646-647): per context,
@@ -324,6 +334,19 @@ class QueryCompiler:
         ts = self.term_stats.filter(
             F.col("term_lc").between(lo.lower(), hi.lower())
         ).select("context", "term_lc", "df")
+        if all(self.context_types.get(cx) == "geo" for cx in cxs):
+            # 2-dim rect containment (PrefixTreeIndex2Dim.hs:96
+            # Dim2Search.lookupRange): terms are z-interleaved bit
+            # strings (lat bits even, lon bits odd). The lexicographic
+            # z-interval [lo, hi] above is the standard coarse bound
+            # (min corner <= z(p) <= max corner for any p in the rect);
+            # the EXACT filter de-interleaves each axis JVM-side and
+            # applies per-axis BETWEEN — rect semantics without driver-
+            # side BIGMIN interval decomposition, and Catalyst still
+            # pushes the coarse z-range to the parquet scan.
+            rect = self._geo_rect_pred(lo, hi)
+            p = p.filter(rect)
+            ts = ts.filter(rect)
         j = p.join(F.broadcast(ts), ["context", "term_lc"])
         j = self._apply_doc_limit(j)
         n = self._n_map[F.col("context")]

@@ -116,7 +116,7 @@ def oracle_typed(spark):
         "pos": {ids[r[0]]: norm_text(r[4], "geo") for r in ROWS},
     }
     norms = {c: CONTEXT_NORMS_PY[t] for c, t in CTYPES.items()}
-    return OracleIndex(docs, cx, context_norms=norms)
+    return OracleIndex(docs, cx, context_norms=norms, context_types=CTYPES)
 
 
 TYPED_QUERIES = [
@@ -199,3 +199,84 @@ def test_gaussian_int_range_hunt_mode(spark, tmp_path_factory):
 def test_typed_validator_rejects_in_query(typed_engine):
     # a non-int constant cannot match anything in the int context
     assert typed_engine.search("year:'notanint'", k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# I10 full: geo rectangle containment (PrefixTreeIndex2Dim.hs:96 via
+# Data.StringMap.Dim2Search.lookupRange; property-tested against an
+# isInRect oracle like test/Hunt/InterpreterTests.hs:536-559)
+# ---------------------------------------------------------------------------
+
+GEO_POINTS = [
+    (52.5, 13.4), (52.5, 13.5), (48.8, 2.3), (40.7, -74.0),
+    (35.6, 139.7), (-33.9, 151.2), (52.6, 13.4), (0.0, 0.0),
+    (52.4, 13.3), (53.0, 14.0), (52.0, 13.0), (-1.0, -1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def geo_engine(spark, tmp_path_factory):
+    rows = [(f"g{i}", f"{lat}-{lon}") for i, (lat, lon) in enumerate(GEO_POINTS)]
+    df = spark.createDataFrame(rows, "url string, pos string")
+    eng = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("georect_idx")),
+        BuildConfig(n_shards=2, salt_buckets=1, context_types={"pos": "geo"}),
+    )
+    eng.build(df, {"pos": F.col("pos")}, build_id="geo")
+    return eng
+
+
+def _in_rect(lat, lon, lat1, lon1, lat2, lon2):
+    return lat1 <= lat <= lat2 and lon1 <= lon <= lon2
+
+
+@pytest.mark.parametrize(
+    "rect",
+    [
+        (52.0, 13.0, 53.0, 14.0),    # Berlin box: excludes z-interval noise
+        (40.0, -80.0, 53.0, 14.0),   # spans negative lon
+        (-40.0, -180.0, 60.0, 180.0),  # nearly everything
+        (52.5, 13.4, 52.5, 13.4),    # degenerate point rect
+        (10.0, 10.0, 20.0, 20.0),    # empty
+    ],
+)
+def test_geo_rect_containment(geo_engine, rect):
+    lat1, lon1, lat2, lon2 = rect
+    q = f"pos:[{lat1}-{lon1} TO {lat2}-{lon2}]"
+    got = {r["url"] for r in geo_engine.search(q, k=100, use_wand=False).collect()}
+    want = {
+        f"g{i}"
+        for i, (lat, lon) in enumerate(GEO_POINTS)
+        if _in_rect(lat, lon, lat1, lon1, lat2, lon2)
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-89, 89), st.integers(-179, 179),
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(-89, 69), st.integers(-179, 159),
+    st.integers(0, 20), st.integers(0, 20),
+)
+@settings(max_examples=30, deadline=None)
+def test_geo_rect_pred_property(points, lat1, lon1, dlat, dlon):
+    """Pure-predicate property check (no Spark): the de-interleaved
+    rect filter over z-strings equals isInRect for integer-degree
+    points — mirrors the reference's quickcheck property."""
+    lat2, lon2 = lat1 + dlat, lon1 + dlon
+    lo = geo_norm_py(f"{lat1}-{lon1}")
+    hi = geo_norm_py(f"{lat2}-{lon2}")
+    for lat, lon in points:
+        z = geo_norm_py(f"{lat}-{lon}")
+        in_rect = lat1 <= lat <= lat2 and lon1 <= lon <= lon2
+        pred = (
+            lo <= z <= hi
+            and lo[0::2] <= z[0::2] <= hi[0::2]
+            and lo[1::2] <= z[1::2] <= hi[1::2]
+        )
+        assert pred == in_rect, (lat, lon, lat1, lon1, lat2, lon2)
