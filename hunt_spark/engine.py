@@ -108,8 +108,39 @@ class HuntEngine:
             self._doc_meta = m
         return self._doc_meta
 
+    def _schema(self) -> dict[str, tuple[str, float]] | None:
+        """Durable context registry {context: (ctype, weight)} — Hunt's
+        ContextSchema, maintained by build and the Insert/DeleteContext
+        verbs (Interpreter/Command.hs:71-75). None on pre-schema
+        catalogs (contexts then derive from context_stats)."""
+        try:
+            rows = self.catalog.read(self.spark, "schema").collect()
+        except FileNotFoundError:
+            return None
+        return {r["context"]: (r["ctype"], r["weight"]) for r in rows}
+
+    def _commit_schema(self, sch: dict[str, tuple[str, float]], key: str) -> None:
+        rows = [(cx, t, float(w)) for cx, (t, w) in sorted(sch.items())]
+        df = self.spark.createDataFrame(
+            rows, "context string, ctype string, weight double"
+        )
+        self.catalog.commit(df, "schema", key)
+
+    def _sync_cfg_from_schema(self) -> dict | None:
+        """Fold the durable schema into the in-memory cfg so a reopened
+        engine normalizes typed contexts and applies context weights
+        without re-passing BuildConfig."""
+        sch = self._schema()
+        if sch is not None:
+            for cx, (t, w) in sch.items():
+                if t != "text":
+                    self.cfg.context_types.setdefault(cx, t)
+                self.cfg.context_weights.setdefault(cx, w)
+        return sch
+
     def compiler(self) -> QueryCompiler:
         if self._compiler is None:
+            sch = self._sync_cfg_from_schema()
             cstats = self.catalog.read(self.spark, "context_stats").collect()
             stats = IndexStats(
                 n_docs={r["context"]: r["n_docs"] for r in cstats},
@@ -128,6 +159,9 @@ class HuntEngine:
                 self.catalog.read(self.spark, "term_stats"),
                 stats,
                 self.cfg.n_shards,
+                # a freshly inserted context may have no postings yet —
+                # the schema, not the stats, defines the context set
+                all_contexts=sorted(sch) if sch is not None else None,
                 word_limit=self.word_limit,
                 doc_limit=self.doc_limit,
                 context_norms=norms,
@@ -335,6 +369,15 @@ class HuntEngine:
     # maintenance verbs (InsertList / DeleteDocs / DeleteByQuery /
     # Update — Interpreter.hs:323-368 dispatch)
     # ------------------------------------------------------------------
+    def _check_contexts(self, context_cols: dict[str, Column]) -> None:
+        """Hunt rejects inserts into unregistered contexts
+        (InterpreterTests: 'insert into non-existent context fails')."""
+        sch = self._sync_cfg_from_schema()
+        if sch is not None:
+            unknown = sorted(set(context_cols) - set(sch))
+            if unknown:
+                raise KeyError(f"unknown contexts: {unknown}")
+
     def insert(
         self,
         docs: DataFrame,
@@ -346,6 +389,7 @@ class HuntEngine:
         micro-batches pass ``refresh_stats=False`` and refresh once per
         trigger window (stats are global aggregates; per-batch refresh
         would serialize the stream on two extra jobs per batch)."""
+        self._check_contexts(context_cols)
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
@@ -386,6 +430,7 @@ class HuntEngine:
         base snapshot (a tombstone cannot express 'old rows only': it
         would also kill the re-inserted doc_id). On Iceberg this is
         MERGE INTO, rewriting only the matching files."""
+        self._check_contexts(context_cols)
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         ids = docs.select("doc_id")
         new_p = postings_from_contexts(docs, context_cols, self.cfg)
@@ -437,6 +482,48 @@ class HuntEngine:
             sel.append(F.col("_old_description").alias("description"))
         m = untouched.unionByName(j.select(*sel), allowMissingColumns=True)
         self.catalog.commit(m, "doc_meta", "update/doc_meta")
+        self._refresh_stats()
+
+    def insert_context(
+        self, name: str, ctype: str = "text", weight: float = 1.0
+    ) -> None:
+        """Hunt InsertContext (Command.hs:71-73): register a new context
+        in the schema at runtime — no rebuild; postings for it arrive
+        through subsequent insert()/update() calls whose context_cols
+        include the new context. Duplicate registration fails, mirroring
+        the reference (InterpreterTests 'inserting a context twice')."""
+        if ctype not in ("text", "int", "date", "geo"):
+            raise ValueError(f"unknown context type {ctype!r}")
+        sch = self._schema() or {}
+        if name in sch:
+            raise ValueError(f"context {name!r} already exists")
+        sch[name] = (ctype, float(weight))
+        self._commit_schema(sch, f"insert_context/{name}")
+        if ctype != "text":
+            self.cfg.context_types[name] = ctype
+        self.cfg.context_weights[name] = float(weight)
+        self._invalidate()
+
+    def delete_context(self, name: str) -> None:
+        """Hunt DeleteContext (Command.hs:74-75): drop a context and all
+        its index data. With the (context, shard) partition layout this
+        is a partition delete — on Iceberg a metadata-only DROP
+        PARTITION; here the base snapshot is rewritten without the
+        context's partitions — then stats refresh and the WAND gate
+        closes until the blocks artifact is rebuilt (compact())."""
+        sch = self._schema()
+        if sch is None or name not in sch:
+            raise KeyError(f"unknown context {name!r}")
+        p = self._postings().filter(F.col("context") != name)
+        self.catalog.commit(
+            p, "postings", f"delete_context/{name}",
+            partition_by=["context", "shard"],
+            sort_within_by=["term_lc", "doc_id"],
+        )
+        del sch[name]
+        self._commit_schema(sch, f"delete_context/{name}/schema")
+        self.cfg.context_types.pop(name, None)
+        self.cfg.context_weights.pop(name, None)
         self._refresh_stats()
 
     def delete_docs(self, urls: list[str]) -> None:

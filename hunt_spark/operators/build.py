@@ -68,15 +68,22 @@ class BuildConfig:
     # context columns are raw html binary; extraction runs fused inside
     # the tokenize kernel (one Arrow pass, not two python stages)
     extract_html: bool = False
-    # Inversion strategy — both measured at 500k docs / 43M postings:
-    # "python" (default): Arrow mapInPandas kernel, one factorize +
-    #   lexsort per batch; 35s at local[32], 56s at local[8]. Shuffles
-    #   aggregated postings (43M rows), not tokens.
+    # Inversion strategy — all measured at 500k docs / 43M postings:
+    # "arrow" (default): tokenize JVM-side (whole-stage-codegen
+    #   regexp_extract_all), ship list<string> token arrays through
+    #   Arrow into a mapInArrow kernel that never materializes Python
+    #   string objects — dictionary_encode/take run in Arrow C++, the
+    #   fold is numpy over index arrays, outputs are zero-copy Arrow
+    #   ListArrays. Cuts the Python-object churn the round-1 scaling
+    #   bench blamed for the postings stage's memory-bandwidth wall.
+    # "python": Arrow mapInPandas kernel, regex + one factorize +
+    #   lexsort per batch over pandas object columns; also the fused
+    #   html→text path (extraction and inversion in one Arrow pass).
     # "jvm": posexplode + groupBy(collect_list) — fully codegen'd but
     #   the 65M-token collect_list aggregation is object/GC-bound
     #   (198s at local[32]); kept as a cross-check oracle for the
-    #   kernel (equivalence pinned by test).
-    invert_strategy: str = "python"
+    #   kernels (equivalence pinned by test).
+    invert_strategy: str = "arrow"
 
 
 POSTINGS_SCHEMA = (
@@ -143,6 +150,71 @@ def _make_invert(extract_html: bool):
     return go
 
 
+def _invert_arrow(tokenized: DataFrame) -> DataFrame:
+    """Arrow-native inversion over JVM-tokenized rows.
+
+    Input: (doc_id, context, toks array<string>, dl int), dl > 0.
+    The kernel touches no Python string objects: token bytes stay in
+    Arrow buffers end to end (dictionary_encode + take are Arrow C++),
+    the per-batch fold is numpy over int index arrays, and the
+    positions column is a zero-copy ListArray. Same group order and
+    1-based positions as the pandas kernel (equivalence pinned by
+    tests/test_analysis.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("context", pa.string()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.list_(pa.int32())),
+            ("dl", pa.int32()),
+        ]
+    )
+
+    def go(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            toks = b.column("toks")
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(toks)
+            total = len(flat)
+            if total == 0:
+                continue
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy()
+            doc_idx = np.repeat(np.arange(n), lens)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pos1 = (np.arange(total) - starts[doc_idx] + 1).astype(np.int32)
+            order = np.lexsort((codes, doc_idx))  # by doc, then term code
+            d_s, c_s = doc_idx[order], codes[order]
+            brk = np.flatnonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            g_start = np.concatenate(([0], brk + 1))
+            g_end = np.concatenate((brk + 1, [total]))
+            head = pa.array(d_s[g_start])
+            pos_offsets = pa.array(
+                np.concatenate(([0], g_end)).astype(np.int32), type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(b.column("doc_id"), head),
+                    pc.take(b.column("context"), head),
+                    pc.take(enc.dictionary, pa.array(c_s[g_start])),
+                    pa.array((g_end - g_start).astype(np.int32)),
+                    pa.ListArray.from_arrays(pos_offsets, pa.array(pos1[order])),
+                    pc.take(b.column("dl"), head),
+                ],
+                schema=out_schema,
+            )
+
+    return tokenized.mapInArrow(go, schema=POSTINGS_SCHEMA)
+
+
 def _invert_jvm(stacked: DataFrame) -> DataFrame:
     """Pure-JVM inversion: tokenize (regexp_extract_all), dl computed
     map-side BEFORE the explode (rides the token rows — no second
@@ -177,7 +249,7 @@ def postings_from_contexts(
     kernel)."""
     from hunt_spark.functions.analysis import extract_text_udf, normalize_context_col
 
-    use_python = cfg.invert_strategy == "python"
+    strategy = cfg.invert_strategy
     cast_to = "binary" if cfg.extract_html else "string"
 
     def prepared(name: str, col: Column) -> Column:
@@ -198,12 +270,25 @@ def postings_from_contexts(
     stacked = per_cx[0]
     for d in per_cx[1:]:
         stacked = stacked.unionByName(d)
-    if use_python:
+    if strategy == "python":
         p = stacked.mapInPandas(_make_invert(cfg.extract_html), schema=POSTINGS_SCHEMA)
     else:
         if cfg.extract_html:
+            # byte-identity contract: extraction stays the vectorized
+            # python UDF; tokenization and inversion move off python
             stacked = stacked.withColumn("text", extract_text_udf("text"))
-        p = _invert_jvm(stacked)
+        if strategy == "arrow":
+            from hunt_spark.functions.analysis import tokenize_col
+
+            tokenized = (
+                stacked.withColumn("toks", tokenize_col(F.col("text")))
+                .withColumn("dl", F.size("toks").cast("int"))
+                .filter(F.col("dl") > 0)
+                .select("doc_id", "context", "toks", "dl")
+            )
+            p = _invert_arrow(tokenized)
+        else:
+            p = _invert_jvm(stacked)
     return p.withColumn("term_lc", F.lower("term")).withColumn(
         "shard", F.pmod(F.xxhash64("term_lc"), F.lit(cfg.n_shards)).cast("int")
     )
@@ -448,6 +533,29 @@ def build_index(
     stage(
         "doc_meta",
         lambda key: catalog.commit(docs.select(*meta_cols), "doc_meta", key),
+    )
+
+    # context schema registry (Hunt's ContextSchema, kept per Insert/
+    # DeleteContext verbs — Interpreter/Command.hs:71-75): makes the
+    # context set durable so a reopened engine and runtime context
+    # verbs agree on it even for contexts with no postings yet
+    schema_rows = [
+        (
+            cx,
+            cfg.context_types.get(cx, "text"),
+            float(cfg.context_weights.get(cx, 1.0)),
+        )
+        for cx in sorted(context_cols)
+    ]
+    stage(
+        "schema",
+        lambda key: catalog.commit(
+            spark.createDataFrame(
+                schema_rows, "context string, ctype string, weight double"
+            ),
+            "schema",
+            key,
+        ),
     )
 
     postings = postings_from_contexts(docs, context_cols, cfg)

@@ -39,7 +39,8 @@ def make_zip(dest: str) -> str:
 
 
 def run_job(
-    zpath: str, corpus: str, cores: int, queries: bool, from_html: bool = False
+    zpath: str, corpus: str, cores: int, queries: bool, from_html: bool = False,
+    invert_strategy: str = "arrow",
 ) -> dict:
     # Cluster-resource emulation on one box (the sandbox adaptation of
     # N vs 4N executors — each fix is something a real cluster gives
@@ -85,6 +86,7 @@ def run_job(
         cmd.append("--queries")
     if from_html:
         cmd.append("--from-html")
+    cmd += ["--invert-strategy", invert_strategy]
     print(f"+ local[{cores}] spark-submit ...", flush=True)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     metrics = None
@@ -145,6 +147,8 @@ def main() -> None:
     ap.add_argument("--corpus", default="/tmp/hunt_bench_corpus")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--from-html", action="store_true")
+    ap.add_argument("--invert-strategy", default="arrow",
+                    choices=["arrow", "python", "jvm"])
     ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -160,8 +164,10 @@ def main() -> None:
 
     n, n4 = args.n, 4 * args.n
     hw = hw_scaling_control(n, n4)
-    m_n = run_job(zpath, args.corpus, n, queries=True, from_html=args.from_html)
-    m_4n = run_job(zpath, args.corpus, n4, queries=True, from_html=args.from_html)
+    m_n = run_job(zpath, args.corpus, n, queries=True, from_html=args.from_html,
+                  invert_strategy=args.invert_strategy)
+    m_4n = run_job(zpath, args.corpus, n4, queries=True, from_html=args.from_html,
+                   invert_strategy=args.invert_strategy)
     eff = (m_n["build_sec"] / m_4n["build_sec"]) / 4
     core_eff = (
         round((m_n["core_build_sec"] / m_4n["core_build_sec"]) / 4, 3)

@@ -43,6 +43,12 @@ def main() -> None:
         "(the north-star byte-identical extraction path) instead of the "
         "pre-extracted text column",
     )
+    ap.add_argument(
+        "--invert-strategy",
+        default="arrow",
+        choices=["arrow", "python", "jvm"],
+        help="postings inversion path (see BuildConfig.invert_strategy)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -72,6 +78,7 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             block_size=args.block_size,
             extract_html=args.from_html,
+            invert_strategy=args.invert_strategy,
         ),
     )
     # --from-html: extraction runs fused inside the tokenize kernel

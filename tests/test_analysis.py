@@ -135,7 +135,36 @@ def test_jvm_and_python_invert_strategies_identical(spark):
             for r in p.collect()
         )
 
-    assert rows("jvm") == rows("python")
+    want = rows("jvm")
+    assert want == rows("python")
+    assert want == rows("arrow")
+
+
+def test_arrow_invert_html_extraction_identical(spark):
+    """extract_html path: the fused python kernel and the
+    extract-UDF + JVM-tokenize + Arrow kernel pipeline must produce
+    identical postings (the byte-identical-extraction contract)."""
+    from pyspark.sql import functions as F
+
+    from hunt_spark.operators.build import BuildConfig, postings_from_contexts
+    from hunt_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 80, partitions=2).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    cxs = {"text": F.col("html")}
+
+    def rows(strategy):
+        p = postings_from_contexts(
+            docs, cxs,
+            BuildConfig(n_shards=4, invert_strategy=strategy, extract_html=True),
+        )
+        return sorted(
+            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]), r["dl"])
+            for r in p.collect()
+        )
+
+    assert rows("python") == rows("arrow")
 
 
 def test_corpus_determinism_spark_vs_pandas(spark):
