@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_bool_or": _q_select("'spark' OR 'hash'"),
         "idx_bool_andnot": _q_select("'batch' AND NOT 'dup'"),
         "idx_phrase": _q_select("\"batch batch\""),
+        # positional folds beyond phrase (P5/P6: FOLLOW/NEAR intervals,
+        # Intermediate.hs:513-538)
+        "idx_near": _q_select("'spark' NEAR 3 'hash'"),
+        "idx_follow": _q_select("'spark' FOLLOW 3 'hash'"),
         # --- BM25 scored retrieval (SURVEY §2.6 R8) ---
         "idx_bm25_single": _q_search("'spark'"),
         "idx_bm25_and": _q_search("'spark' 'hash'"),
@@ -113,6 +117,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle SQL as the full plan (rank+score identity at the gate)
         "idx_wand_and": _q_search("'spark' 'hash'", use_wand=True),
         "idx_wand_or": _q_search("'spark' OR 'hash'", use_wand=True),
+        # R5 pagination: page 2 of the ranking (offset in the plan)
+        "idx_bm25_offset": lambda spark, sf_dir: (
+            _engine(spark, sf_dir)
+            .search("'spark' OR 'hash'", k=_engine(spark, sf_dir).doc_meta().count(),
+                    use_wand=False)
+            .select(
+                "doc_id",
+                F.round(F.col("score") * 10000).cast("long").alias("score_x1e4"),
+            )
+            .orderBy(F.desc("score_x1e4"), F.asc("doc_id"))
+            .offset(5)
+            .limit(10)
+        ),
         # Hunt wordLimit knob: prefix expansion capped shortest-first
         "idx_prefix_word_limit": _q_search_word_limited("sc", word_limit=3),
         # Hunt docLimit knob: scan truncated at a cumulative doc budget
@@ -442,6 +459,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.term = 'batch' AND b.term = 'batch'
         """,
+        "idx_near": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\w+')) AS term,
+                              generate_subscripts(regexp_extract_all(text, '\w+'), 1) AS pos
+                       FROM documents)
+            SELECT DISTINCT a.doc_id
+            FROM t a JOIN t b ON a.doc_id = b.doc_id
+            WHERE a.term = 'spark' AND b.term = 'hash'
+              AND b.pos - a.pos BETWEEN -3 AND 3
+        """,
+        "idx_follow": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\w+')) AS term,
+                              generate_subscripts(regexp_extract_all(text, '\w+'), 1) AS pos
+                       FROM documents)
+            SELECT DISTINCT a.doc_id
+            FROM t a JOIN t b ON a.doc_id = b.doc_id
+            WHERE a.term = 'spark' AND b.term = 'hash'
+              AND b.pos - a.pos BETWEEN 1 AND 3
+        """,
+        "idx_bm25_offset": (
+            _BM25_CTE
+            + "SELECT doc_id, CAST(round(s * 10000) AS BIGINT) AS score_x1e4 "
+            "FROM (SELECT doc_id, sum(idf * tfn) AS s FROM sc "
+            "      WHERE term IN ('spark','hash') GROUP BY doc_id) "
+            "ORDER BY score_x1e4 DESC, doc_id ASC LIMIT 10 OFFSET 5"
+        ),
         "idx_bm25_single": _bm25(
             "SELECT doc_id, idf * tfn AS s FROM sc WHERE term = 'spark'"
         ),

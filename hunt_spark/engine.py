@@ -123,7 +123,7 @@ class HuntEngine:
         rows = [(cx, t, float(w)) for cx, (t, w) in sorted(sch.items())]
         df = self.spark.createDataFrame(
             rows, "context string, ctype string, weight double"
-        )
+        ).coalesce(1)
         self.catalog.commit(df, "schema", key)
 
     def _sync_cfg_from_schema(self) -> dict | None:

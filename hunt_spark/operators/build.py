@@ -552,7 +552,7 @@ def build_index(
         lambda key: catalog.commit(
             spark.createDataFrame(
                 schema_rows, "context string, ctype string, weight double"
-            ),
+            ).coalesce(1),
             "schema",
             key,
         ),

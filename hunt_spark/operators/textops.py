@@ -149,8 +149,21 @@ def _verify_jaccard_pairs(
     cand: DataFrame, docs: DataFrame, threshold: float, k: int, text_col: str
 ) -> DataFrame:
     """Exact Jaccard verification on candidate (doc_id_a, doc_id_b)
-    pairs only — array_intersect/union over the two shingle sets."""
-    sh = docs.select(
+    pairs only — array_intersect/union over the two shingle sets.
+
+    Shingles are recomputed only for docs that appear in a candidate
+    pair (semi-join BEFORE the shingle expression): candidates are a
+    tiny fraction of the corpus, so the expensive tokenize+shingle pass
+    must not run over every doc a second time. The candidate frame is
+    persisted (it is small and referenced three times — as both join
+    sides and for the id set); Spark evicts it under pressure."""
+    cand = cand.persist()
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id", "left_semi").select(
         "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
     )
     va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
