@@ -120,11 +120,10 @@ class HuntEngine:
         return {r["context"]: (r["ctype"], r["weight"]) for r in rows}
 
     def _commit_schema(self, sch: dict[str, tuple[str, float]], key: str) -> None:
+        from hunt_spark.operators.build import schema_values_df
+
         rows = [(cx, t, float(w)) for cx, (t, w) in sorted(sch.items())]
-        df = self.spark.createDataFrame(
-            rows, "context string, ctype string, weight double"
-        ).coalesce(1)
-        self.catalog.commit(df, "schema", key)
+        self.catalog.commit(schema_values_df(self.spark, rows), "schema", key)
 
     def _sync_cfg_from_schema(self) -> dict | None:
         """Fold the durable schema into the in-memory cfg so a reopened

@@ -20,16 +20,17 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
 
-def _varbyte_pack(values: np.ndarray) -> bytes:
-    """LEB128-pack an array of non-negative int64s, vectorized.
+def _varbyte_pack_flat(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-pack an array of non-negative uint64s, vectorized.
 
-    Computes per-value byte width from bit length, then scatters the
-    7-bit groups into a flat output buffer with numpy index math.
+    Returns (flat uint8 buffer, per-value byte widths) so callers can
+    slice per-group byte ranges out of one whole-batch pack (the
+    Arrow-native blocks kernel packs every group of a batch in a single
+    call and derives group boundaries from cumulative widths).
     """
-    if len(values) == 0:
-        return b""
     v = values.astype(np.uint64, copy=False)
-    # number of 7-bit groups per value (>=1)
+    if len(v) == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbits = np.zeros(len(v), dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -41,7 +42,6 @@ def _varbyte_pack(values: np.ndarray) -> bytes:
     widths = np.maximum(nbits, 1)
     offsets = np.concatenate(([0], np.cumsum(widths)))
     out = np.zeros(offsets[-1], dtype=np.uint8)
-    # byte j of value i goes to offsets[i]+j with continuation bit if j<width-1
     max_w = int(widths.max())
     shifted = v.copy()
     for j in range(max_w):
@@ -51,6 +51,12 @@ def _varbyte_pack(values: np.ndarray) -> bytes:
         cont = (widths[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = byte | cont
         shifted >>= np.uint64(7)
+    return out, widths
+
+
+def _varbyte_pack(values: np.ndarray) -> bytes:
+    """LEB128-pack an array of non-negative int64s, vectorized."""
+    out, _widths = _varbyte_pack_flat(np.asarray(values))
     return out.tobytes()
 
 

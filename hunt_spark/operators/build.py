@@ -84,6 +84,10 @@ class BuildConfig:
     #   (198s at local[32]); kept as a cross-check oracle for the
     #   kernels (equivalence pinned by test).
     invert_strategy: str = "arrow"
+    # Blocks pack kernel — "arrow" (default): whole-batch Arrow/numpy
+    # pack, zero-copy Binary/List outputs, no pandas object columns;
+    # "python": the pandas per-group kernel (equivalence pinned by test)
+    pack_strategy: str = "arrow"
 
 
 POSTINGS_SCHEMA = (
@@ -294,6 +298,28 @@ def postings_from_contexts(
     )
 
 
+def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """(context, ctype, weight) rows as a JVM-only literal DataFrame —
+    ``createDataFrame`` on driver-local data evaluates through pickled
+    RDD partitions and spawns Python workers just to write 3 rows
+    (measured seconds of fixed overhead per build); a VALUES plan is
+    pure Catalyst."""
+    if not rows:
+        return spark.createDataFrame(
+            [], "context string, ctype string, weight double"
+        )
+    vals = ", ".join(
+        "('{}', '{}', CAST({!r} AS DOUBLE))".format(
+            cx.replace("'", "''"), t.replace("'", "''"), float(w)
+        )
+        for cx, t, w in rows
+    )
+    return spark.sql(
+        f"SELECT col1 AS context, col2 AS ctype, col3 AS weight "
+        f"FROM VALUES {vals}"
+    ).coalesce(1)
+
+
 def context_stats(postings: DataFrame) -> DataFrame:
     """(context, n_docs, avg_dl) — one row per context.
 
@@ -397,6 +423,124 @@ def build_blocks(
         .sortWithinPartitions("context", "term_lc", "block_id", "doc_id")
     )
 
+    def pack_arrow(batches):
+        """Arrow-native pack: the 43M-row sorted stream never becomes
+        pandas object columns. Group boundaries come from dictionary
+        codes, per-group reductions from np.maximum.reduceat, the
+        delta+varbyte buffer is ONE whole-batch pack sliced by
+        cumulative widths into a zero-copy BinaryArray, and the
+        variants/tfs/dls list columns are zero-copy ListArrays over the
+        group offsets."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from hunt_spark.functions.varbyte import _varbyte_pack_flat
+
+        out_schema = pa.schema(
+            [
+                ("context", pa.string()),
+                ("shard", pa.int32()),
+                ("term_lc", pa.string()),
+                ("block_id", pa.int32()),
+                ("n_postings", pa.int64()),
+                ("max_tfn", pa.float64()),
+                ("doc_ids_vb", pa.binary()),
+                ("variants", pa.list_(pa.string())),
+                ("tfs", pa.list_(pa.int32())),
+                ("dls", pa.list_(pa.int32())),
+            ]
+        )
+
+        def emit(tbl: "pa.Table"):
+            b = tbl.combine_chunks()
+            n = b.num_rows
+            cols = {name: b.column(name).chunk(0) for name in b.column_names}
+            cx_enc = pc.dictionary_encode(cols["context"])
+            lc_enc = pc.dictionary_encode(cols["term_lc"])
+            cx_c = cx_enc.indices.to_numpy()
+            lc_c = lc_enc.indices.to_numpy()
+            bid = cols["block_id"].to_numpy()
+            brk = np.flatnonzero(
+                (cx_c[1:] != cx_c[:-1])
+                | (lc_c[1:] != lc_c[:-1])
+                | (bid[1:] != bid[:-1])
+            )
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk + 1, [n]))
+            tf = cols["tf"].to_numpy().astype(np.float64)
+            dl = cols["dl"].to_numpy().astype(np.float64)
+            a_dl_by_code = np.array(
+                [avg_dl_by_cx[c] for c in cx_enc.dictionary.to_pylist()]
+            )
+            a_dl = a_dl_by_code[cx_c]
+            tfn = (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / a_dl)
+            )
+            max_tfn = np.maximum.reduceat(tfn, starts)
+            # whole-batch delta+varbyte: absolute value at group starts,
+            # mod-2^64 gaps elsewhere (sorted within group => exact)
+            au = cols["doc_id"].to_numpy().astype(np.uint64)
+            deltas = np.empty(n, dtype=np.uint64)
+            deltas[0] = au[0]
+            np.subtract(au[1:], au[:-1], out=deltas[1:])
+            deltas[starts] = au[starts]
+            buf, widths = _varbyte_pack_flat(deltas)
+            byte_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(widths, out=byte_off[1:])
+            group_byte_off = byte_off[np.concatenate((starts, [n]))].astype(np.int32)
+            vb = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(group_byte_off), pa.py_buffer(buf)],
+            )
+            offs = pa.array(
+                np.concatenate((starts, [n])).astype(np.int32), type=pa.int32()
+            )
+            heads = pa.array(starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(cols["context"], heads),
+                    pc.take(cols["shard"], heads),
+                    pc.take(cols["term_lc"], heads),
+                    pc.take(cols["block_id"], heads),
+                    pa.array((ends - starts).astype(np.int64)),
+                    pa.array(max_tfn),
+                    vb,
+                    pa.ListArray.from_arrays(offs, cols["variant"]),
+                    pa.ListArray.from_arrays(offs, pc.cast(cols["tf"], pa.int32())),
+                    pa.ListArray.from_arrays(offs, pc.cast(cols["dl"], pa.int32())),
+                ],
+                schema=out_schema,
+            )
+
+        def go(batches):
+            carry: "pa.Table" | None = None
+            for rb in batches:
+                t = pa.Table.from_batches([rb])
+                if carry is not None:
+                    t = pa.concat_tables([carry, t]).combine_chunks()
+                    carry = None
+                n = t.num_rows
+                if n == 0:
+                    continue
+                # hold back the (possibly incomplete) trailing group —
+                # vectorized trailing-run detection
+                tc = t.combine_chunks()
+                cxc = pc.dictionary_encode(tc.column("context").chunk(0)).indices.to_numpy()
+                lcc = pc.dictionary_encode(tc.column("term_lc").chunk(0)).indices.to_numpy()
+                bid = tc.column("block_id").chunk(0).to_numpy()
+                not_last_grp = (
+                    (cxc != cxc[-1]) | (lcc != lcc[-1]) | (bid != bid[-1])
+                )
+                idx = np.flatnonzero(not_last_grp)
+                cut = int(idx[-1] + 1) if len(idx) else 0
+                carry = tc.slice(cut)
+                if cut:
+                    yield from emit(tc.slice(0, cut))
+            if carry is not None and carry.num_rows:
+                yield from emit(carry)
+
+        return go(batches)
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
 
@@ -462,14 +606,15 @@ def build_blocks(
         if carry is not None and len(carry):
             yield emit(carry)
 
-    packed = pre.mapInPandas(
-        pack,
-        schema=(
-            "context string, shard int, term_lc string, block_id int, "
-            "n_postings long, max_tfn double, doc_ids_vb binary, "
-            "variants array<string>, tfs array<int>, dls array<int>"
-        ),
+    packed_schema = (
+        "context string, shard int, term_lc string, block_id int, "
+        "n_postings long, max_tfn double, doc_ids_vb binary, "
+        "variants array<string>, tfs array<int>, dls array<int>"
     )
+    if cfg.pack_strategy == "arrow":
+        packed = pre.mapInArrow(pack_arrow, schema=packed_schema)
+    else:
+        packed = pre.mapInPandas(pack, schema=packed_schema)
     # re-attach the per-term stats on the packed (block-granular) rows
     # and finish the block-max bound JVM-side: max_bm25 = idf * max_tfn.
     # No broadcast hint: term_stats is not broadcastable at 10^12-doc
@@ -550,11 +695,7 @@ def build_index(
     stage(
         "schema",
         lambda key: catalog.commit(
-            spark.createDataFrame(
-                schema_rows, "context string, ctype string, weight double"
-            ).coalesce(1),
-            "schema",
-            key,
+            schema_values_df(spark, schema_rows), "schema", key
         ),
     )
 

@@ -180,3 +180,36 @@ def test_corpus_determinism_spark_vs_pandas(spark):
     assert list(got["text"]) == list(want["text"])
     assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
     assert list(got["lang"]) == list(want["lang"])
+
+
+def test_pack_strategies_identical(spark):
+    """The Arrow-native whole-batch blocks pack and the pandas
+    per-group kernel must emit identical block rows — including
+    byte-identical delta+varbyte buffers and float-identical maxima."""
+    from pyspark.sql import functions as F
+
+    from hunt_spark.operators.build import (
+        BuildConfig, build_blocks, context_stats, postings_from_contexts,
+        term_stats,
+    )
+    from hunt_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 150, partitions=2).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    cfg = BuildConfig(n_shards=4, block_size=64)
+    p = postings_from_contexts(docs, {"text": F.col("text")}, cfg)
+    ts, cs = term_stats(p), context_stats(p)
+
+    def rows(strategy):
+        cfgx = BuildConfig(n_shards=4, block_size=64, pack_strategy=strategy)
+        bl = build_blocks(spark, p, ts, cs, cfgx)
+        return sorted(
+            (r["context"], r["shard"], r["term_lc"], r["block_id"],
+             r["n_postings"], r["max_bm25"], r["df"], r["n_blocks"],
+             bytes(r["doc_ids_vb"]), tuple(r["variants"]),
+             tuple(r["tfs"]), tuple(r["dls"]))
+            for r in bl.collect()
+        )
+
+    assert rows("python") == rows("arrow")
