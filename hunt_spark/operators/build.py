@@ -179,6 +179,12 @@ def _invert_arrow(tokenized: DataFrame) -> DataFrame:
     )
 
     def go(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # one Arrow worker thread per task: the default pool is
+        # os.cpu_count() PER python worker, so 32 tasks x 32 threads
+        # oversubscribe the box and the stage anti-scales (measured
+        # 35s@8 -> 45s@32 before this pin)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -513,6 +519,8 @@ def build_blocks(
             )
 
         def go(batches):
+            if pa.cpu_count() != 1:
+                pa.set_cpu_count(1)  # see _invert_arrow: avoid 32x32 threads
             carry: "pa.Table" | None = None
             for rb in batches:
                 t = pa.Table.from_batches([rb])
