@@ -135,39 +135,38 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
     )
 
 
-def _shingle_rows(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    return (
+def _shingle_arrays(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, sh array<string>) — the ONE tokenize+shingle pass both
+    candidate generation and exact verification derive from. Persisted
+    and materialized by the callers: the corpus-wide tokenize+shingle
+    expression is the dominant cost of the dedup operators, and without
+    an eager persist each downstream branch of a single job would
+    recompute it (a lazy persist does not help branches racing past the
+    empty cache). At true 100 TB scale swap the persist for DISK_ONLY
+    or recompute — the call sites are the only thing to change."""
+    sh = (
         _spread(docs).select(
             "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
         )
         .filter(F.size("sh") > 0)
-        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+        .persist()
     )
+    sh.count()
+    return sh
 
 
 def _verify_jaccard_pairs(
-    cand: DataFrame, docs: DataFrame, threshold: float, k: int, text_col: str
+    cand: DataFrame, sh_arrays: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard verification on candidate (doc_id_a, doc_id_b)
-    pairs only — array_intersect/union over the two shingle sets.
-
-    Shingles are recomputed only for docs that appear in a candidate
-    pair (semi-join BEFORE the shingle expression): candidates are a
-    tiny fraction of the corpus, so the expensive tokenize+shingle pass
-    must not run over every doc a second time. The candidate frame is
-    persisted (it is small and referenced three times — as both join
-    sides and for the id set); Spark evicts it under pressure."""
-    cand = cand.persist()
-    ids = (
-        cand.select(F.col("doc_id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
-        .distinct()
+    pairs only — array_intersect/union over the two shingle sets, read
+    from the shared cached shingle frame."""
+    va = sh_arrays.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
     )
-    sh = docs.join(ids, "doc_id", "left_semi").select(
-        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
+    vb = sh_arrays.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
     )
-    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -201,7 +200,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
-    sh = _shingle_rows(docs, text_col, k)
+    sh_arrays = _shingle_arrays(docs, text_col, k)
+    sh = sh_arrays.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
     sdf = sh.groupBy("s").agg(F.count("*").alias("s_df"))
     w = Window.partitionBy("doc_id").orderBy("s_df", "s")
     # epsilon guards the float ceil toward a LONGER prefix (never drops
@@ -222,17 +224,23 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard_pairs(cand, docs, threshold, k, text_col)
+    return _verify_jaccard_pairs(cand, sh_arrays, threshold)
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 8, k: int = 3, text_col: str = "text"
+    docs: DataFrame, n_hashes: int = 8, k: int = 3, text_col: str = "text",
+    sh_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: per seed i, min over shingles of
-    xxhash64(seed_i || shingle) — all JVM-side array expressions."""
-    sh = _spread(docs).select(
-        "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    xxhash64(seed_i || shingle) — all JVM-side array expressions.
+    Pass ``sh_arrays`` to reuse an existing (doc_id, sh) shingle frame."""
+    sh = (
+        sh_arrays
+        if sh_arrays is not None
+        else _spread(docs).select(
+            "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
+        ).filter(F.size("sh") > 0)
+    )
     # ONE aggregate pass over the shingle array computing all seeds'
     # minima together: n separate array_min(transform(sh,...)) columns
     # get the shingle expression INLINED n times by CollapseProject
@@ -272,7 +280,8 @@ def minhash_lsh_pairs(
     only banded buckets are joined — the 100 TB-safe path.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, k, text_col)
+    sh_arrays = _shingle_arrays(docs, text_col, k)
+    sigs = minhash_signatures(docs, n_hashes, k, text_col, sh_arrays=sh_arrays)
     band_cols = [
         F.xxhash64(
             F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]),
@@ -296,7 +305,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on candidates only
-    return _verify_jaccard_pairs(cand, docs, threshold, k, text_col)
+    return _verify_jaccard_pairs(cand, sh_arrays, threshold)
 
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"
