@@ -20,7 +20,11 @@ from hunt_spark.engine import HuntEngine
 from hunt_spark.operators import multimodal as mm
 from hunt_spark.operators import textops
 from hunt_spark.operators.build import BuildConfig
-from hunt_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from hunt_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 
 _ENGINES: dict[str, HuntEngine] = {}
 
@@ -177,6 +181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "emb_ann_lsh": lambda spark, sf_dir: lsh_ann_topk(
             _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5, dim=64
+        ),
+        # IVF-Flat: coarse cells + multi-probe exact rerank (the other
+        # classic ANN scale path besides hyperplane LSH)
+        "emb_ann_ivf": lambda spark, sf_dir: ivf_ann_topk(
+            _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5,
+            n_cells=16, n_probe=4, dim=64,
         ),
         # --- multimodal binary-payload plumbing (decode kernel stubbed;
         # text bytes stand in for the opaque image/audio blob) ---
@@ -427,6 +437,68 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _ivf_ann_oracle(n_cells: int = 16, n_probe: int = 4) -> str:
+    """IVF is deterministic given the fixed pseudo-centroids
+    (similarity.py ivf_centroids, Philox seed): cell assignment is
+    argmax of literal-centroid dot products, probes visit their n_probe
+    best cells, rerank is exact cosine — every step replayable in SQL.
+    """
+    from hunt_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, n_cells)
+    dot_exprs = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        dot_exprs.append(
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        )
+    d_list = "[" + ",\n       ".join(dot_exprs) + "]"
+    return f"""
+WITH dots AS (
+  SELECT vec_id, {d_list} AS d FROM embeddings
+),
+cells AS (
+  SELECT vec_id, list_indexof(d, list_max(d)) AS cell, d FROM dots
+),
+probe_cells AS (
+  SELECT vec_id AS probe_id, g.i AS cell,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d[g.i] DESC, g.i ASC
+         ) AS rnk
+  FROM cells, generate_series(1, {n_cells}) g(i)
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, c2.vec_id AS neighbor_id
+  FROM probe_cells p JOIN cells c2 ON c2.cell = p.cell
+  WHERE p.rnk <= {n_probe} AND c2.vec_id != p.probe_id
+),
+pairs AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         AS c
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.probe_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         CAST(round(c * 10000) AS BIGINT) AS cosine_x1e4,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY CAST(round(c * 10000) AS BIGINT) DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, cosine_x1e4, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = r"(SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents)"
     sim_sc = (
@@ -596,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         # "approximate" w.r.t. exact kNN, but fully deterministic given
         # the fixed hyperplanes — the oracle replays the same plan
         "emb_ann_lsh": _lsh_ann_oracle(),
+        "emb_ann_ivf": _ivf_ann_oracle(),
         "mm_payload_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -105,6 +105,97 @@ def lsh_signature_col(vec, planes: np.ndarray):
     return sig.cast("long")
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm cell centroids (Philox stream). A real
+    deployment would train them with k-means over a corpus sample; the
+    fixed pseudo-centroids keep the operator reproducible (and SQL-
+    oracle-able) while exercising the identical distributed plan —
+    coarse cell assignment, inverted cell lists, multi-probe rerank."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, dim * 100003 + n_cells]))
+    c = rng.normal(size=(n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_dots(vec, centroids: np.ndarray) -> list:
+    return [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+
+
+def ivf_cell_col(vec, centroids: np.ndarray):
+    """1-based nearest-centroid id: argmax of the centroid dot products
+    (centroids are unit vectors, so max dot == max cosine)."""
+    dots = F.array(*_cell_dots(vec, centroids))
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is inverted into coarse cells
+    (nearest deterministic centroid); each probe visits its ``n_probe``
+    closest cells and reranks those cells' vectors by exact cosine —
+    the classic IVF-Flat plan. At 10^9+ vectors the cell column is the
+    partition key, so a query touches n_probe/n_cells of the data.
+    Same output schema as cosine_topk/lsh_ann_topk."""
+    cents = ivf_centroids(dim, n_cells)
+    tagged = embeddings.withColumn("cell", ivf_cell_col(F.col(vec_col), cents))
+    # probe side: top-n_probe cells by (dot DESC, cell ASC)
+    dots = _cell_dots(F.col(vec_col), cents)
+    cells_ranked = F.array_sort(
+        F.array(*[
+            F.struct((-d).alias("nd"), F.lit(i + 1).alias("i"))
+            for i, d in enumerate(dots)
+        ])
+    )
+    probe_cells = F.transform(
+        F.slice(cells_ranked, 1, n_probe), lambda s: s["i"]
+    )
+    probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("emb_a"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    corpus = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_b"), "cell"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = with_cosine(cand).withColumn(
+        "cosine_x1e4", F.round(F.col("cosine") * 10000).cast("long")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_x1e4"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_x1e4", "rank")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
