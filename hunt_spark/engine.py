@@ -32,6 +32,7 @@ class HuntEngine:
         word_limit: int = 0,
         doc_limit: int = 0,
         scoring: str = "bm25",
+        fuzzy_config=None,
     ):
         self.spark = spark
         self.catalog = IndexCatalog(catalog_root)
@@ -43,6 +44,12 @@ class HuntEngine:
         # "bm25" (north-star ranking) | "hunt" (reference-native
         # sim*tf arithmetic, OR=max — RankingTests parity mode)
         self.scoring = scoring
+        # None (default): QFuzzy evaluates as NoCase — exactly the live
+        # reference evaluator (Processor.hs:605-615 TODO). A
+        # plans.fuzzy.FuzzyConfig opts into the Holumbus expansion the
+        # Fuzzy.hs tables were written for: word first, then fuzzed
+        # variants in ascending-fuzziness order until one matches.
+        self.fuzzy_config = fuzzy_config
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
@@ -221,7 +228,39 @@ class HuntEngine:
     # query surface
     # ------------------------------------------------------------------
     def _ast(self, query):
-        return parse_query(query) if isinstance(query, str) else query
+        ast = parse_query(query) if isinstance(query, str) else query
+        if self.fuzzy_config is not None:
+            ast = self._resolve_fuzzy(ast)
+        return ast
+
+    def _resolve_fuzzy(self, q):
+        """Opt-in Holumbus fuzzy resolution (see fuzzy_config): each
+        QFuzzy leaf becomes the first of [word, fuzzed variants by
+        ascending score] whose nocase evaluation is non-empty — or the
+        word itself when nothing matches. Fuzz arithmetic is the exact
+        Fuzzy.hs port (plans/fuzzy.py)."""
+        from hunt_spark.plans.ast import (
+            QBoost, QContext, QFullWord, QSeq, QWord,
+        )
+        from hunt_spark.plans.fuzzy import fuzz_list
+
+        if isinstance(q, (QWord, QFullWord)) and q.op == "fuzzy":
+            cands = [q.word] + [w for w, _s in fuzz_list(self.fuzzy_config, q.word)]
+            cls = type(q)
+            for w in cands[:16]:
+                node = cls(w, "nocase")
+                if self.compiler().eval(node).limit(1).count() > 0:
+                    return node
+            return cls(q.word, "nocase")
+        if isinstance(q, QSeq):
+            return QSeq(
+                q.op, tuple(self._resolve_fuzzy(x) for x in q.legs), q.dist
+            )
+        if isinstance(q, QBoost):
+            return QBoost(q.weight, self._resolve_fuzzy(q.query))
+        if isinstance(q, QContext):
+            return QContext(q.contexts, self._resolve_fuzzy(q.query))
+        return q
 
     def search(
         self,
