@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hunt_spark.engine import HuntEngine
+from hunt_spark.operators import events as evt
 from hunt_spark.operators import multimodal as mm
 from hunt_spark.operators import textops
 from hunt_spark.operators.build import BuildConfig
@@ -222,6 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id_a", "doc_id_b",
                 F.round(F.col("cosine") * 10000).cast("long").alias("cosine_x1e4"),
             )
+        ),
+        # --- event-stream sessionization (batch twin of the
+        # applyInPandasWithState streaming operator) ---
+        "evt_sessionize": lambda spark, sf_dir: evt.sessionize_batch(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
         ),
         # --- query completion over an AND sequence (Hunt
         # processQueryScoredWords, Processor.hs:311-366) ---
@@ -700,6 +706,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(10000 AS BIGINT) AS cosine_x1e4
             FROM p a JOIN p b ON a.pp = b.pp AND a.doc_id < b.doc_id
+        """,
+        "evt_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 30 * 60 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_x100
+            FROM s GROUP BY 1, 2
         """,
         "cmp_query_and": r"""
             WITH toks AS (
