@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": lambda spark, sf_dir: textops.token_counts(
             _docs(spark, sf_dir)
         ),
+        # whitespace + BPE-ish (GPT-2 pre-tokenizer regex) counting —
+        # the LLM-cost accounting numbers of a training pipeline
+        "txt_token_count_bpe": lambda spark, sf_dir: textops.token_counts_bpe(
+            _docs(spark, sf_dir)
+        ),
         "txt_quality": lambda spark, sf_dir: textops.quality_stats(
             _docs(spark, sf_dir)
         ),
@@ -628,6 +633,16 @@ def oracle_sql() -> dict[str, str]:
         "txt_token_count": (
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # same pattern literal on both engines (no backrefs/lookarounds,
+        # so Java regex == RE2); SQL doubles the leading quote
+        "txt_token_count_bpe": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            r"len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_words, "
+            "CAST(len(regexp_extract_all(text, "
+            r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+            ")) AS INT) AS n_bpe_tokens FROM documents"
         ),
         "txt_quality": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk FROM documents)

@@ -49,6 +49,28 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs. No
+# backrefs/lookarounds, so Java regex (Spark) and RE2 (DuckDB) agree —
+# parity pinned by the txt_token_count_bpe gate.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_counts_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-ish token count estimate (the LLM-cost accounting number
+    a training pipeline tracks): whitespace-split word count plus the
+    BPE-ish pre-token count from the GPT-2-style regex."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        F.when(F.trim(F.col(text_col)) == "", 0).otherwise(ws).alias("n_words"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
 
 
