@@ -132,6 +132,47 @@ class IndexCatalog:
                 rec["files"] += 1
         return sorted(out.values(), key=lambda r: r["partition"])
 
+    # ---- maintenance ----
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analogue: physically delete
+        snapshot directories no reachable read needs, keeping the
+        newest ``keep_last`` base lineages per table (a base plus the
+        appends after it form one lineage). The manifest keeps every
+        entry (history/audit — expired ones gain ``expired: true``), so
+        stage-keyed build resume still sees completed stages; pinned
+        reads of an expired snapshot raise like Iceberg's
+        VERSION AS OF on an expired snapshot."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        entries = self._manifest()
+        by_table: dict[str, list[dict]] = {}
+        for e in entries:
+            by_table.setdefault(e["table"], []).append(e)
+        expired: list[str] = []
+        for table, snaps in by_table.items():
+            base_idx = [
+                i for i, e in enumerate(snaps)
+                if e.get("mode", "overwrite") == "overwrite"
+            ]
+            if len(base_idx) <= keep_last:
+                continue
+            cutoff = base_idx[-keep_last]  # first snapshot still needed
+            for e in snaps[:cutoff]:
+                if e.get("expired"):
+                    continue
+                shutil.rmtree(e["path"], ignore_errors=True)
+                e["expired"] = True
+                expired.append(e["snapshot_id"])
+        if expired:
+            with open(self.manifest_path, "w") as f:
+                for e in entries:
+                    e = dict(e)
+                    e.pop("seq", None)  # derived on read
+                    f.write(json.dumps(e) + "\n")
+        return {"expired": expired, "kept_last": keep_last}
+
     # ---- read ----
     def current_paths(
         self, table: str, pinned_snapshot: str | None = None
@@ -145,6 +186,10 @@ class IndexCatalog:
         if pinned_snapshot is not None:
             for e in snaps:
                 if e["snapshot_id"] == pinned_snapshot:
+                    if e.get("expired"):
+                        raise FileNotFoundError(
+                            f"snapshot {pinned_snapshot} of {table} has been expired"
+                        )
                     return [e["path"]]
             raise FileNotFoundError(f"snapshot {pinned_snapshot} of {table} not found")
         base = 0

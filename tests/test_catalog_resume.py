@@ -112,3 +112,62 @@ def test_delete_compact_cycle(spark, docs, tmp_path_factory):
     full = eng.search("'brain'", k=5, use_wand=False).collect()
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in full]
     assert victim["doc_id"] not in [r["doc_id"] for r in wand]
+
+
+def test_expire_snapshots_lifecycle(spark, tmp_path_factory):
+    """expire_snapshots keeps the newest N base lineages readable,
+    physically drops older snapshot dirs, preserves manifest history
+    (stage resume keys), and pinned reads of expired snapshots raise —
+    Iceberg expire_snapshots semantics."""
+    import os
+
+    from hunt_spark.sources.catalog import IndexCatalog
+
+    root = str(tmp_path_factory.mktemp("expire_cat"))
+    cat = IndexCatalog(root)
+    ids = []
+    for i in range(4):
+        df = spark.range(i, i + 3).withColumnRenamed("id", "v")
+        ids.append(cat.commit(df, "t", f"stage/{i}")["snapshot_id"])
+
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["expired"] == ids[:2]
+    # current read unaffected (newest base)
+    assert sorted(r["v"] for r in cat.read(spark, "t").collect()) == [3, 4, 5]
+    # pinned read of a kept snapshot works; of an expired one raises
+    assert cat.read(spark, "t", pinned_snapshot=ids[2]).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="expired"):
+        cat.current_paths("t", pinned_snapshot=ids[0])
+    # dirs gone, manifest history intact (resume keys still visible)
+    assert not os.path.exists(
+        os.path.join(root, "t", f"snap_{ids[0]}")
+    )
+    assert cat.completed_stage("stage/0") is not None
+    # idempotent
+    assert cat.expire_snapshots(keep_last=2)["expired"] == []
+
+
+def test_postings_partitions_balanced_under_hot_terms(spark, tmp_path_factory):
+    """Skew evidence: the corpus's hottest term ('the', in nearly every
+    doc) must not concentrate postings writes — the salted
+    (context, shard, salt) layout keeps written partition sizes within
+    a small factor of the mean (read from the manifest's per-partition
+    lineage ledger)."""
+    from hunt_spark.engine import HuntEngine
+    from hunt_spark.operators.build import BuildConfig
+    from hunt_spark.sources.corpus import corpus_df
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("skew_idx"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    eng.build(
+        corpus_df(spark, 300, partitions=4), {"text": F.col("text")},
+        build_id="skew",
+    )
+    entry = [e for e in eng.catalog.snapshots("postings")][-1]
+    rows = [p["rows"] for p in entry["lineage"] if p["rows"] > 0]
+    assert len(rows) >= 4
+    assert max(rows) <= 4 * (sum(rows) / len(rows)), rows
