@@ -1,0 +1,348 @@
+"""HTTP API wrapper — the Spark analogue of hunt-server's Servant
+surface (hunt-api/src/Hunt/API.hs:41-149, hunt-server/src/Hunt/Server.hs).
+
+Endpoints (same paths, params and JSON wire shapes as the reference):
+
+  GET    /search/:query?offset=0&limit=10  -> LimitedResult RankedDoc
+  GET    /completion/:query?limit=10       -> [[word, score], ...]
+  GET    /select/:query                    -> LimitedResult RankedDoc
+  GET    /weight/:query                    -> LimitedResult (with weights)
+  POST   /document                         -> insert ApiDocument
+  PUT    /document                         -> update ApiDocument
+  DELETE /document                         -> delete by the document's uri
+  POST   /eval                             -> run Command(s) (Command.hs:194-224)
+  GET    /status/...                       -> catalog status
+
+Wire shapes (ApiDocument.hs:118-158, Command.hs:162-250):
+
+  ApiDocument   {"uri": u, "index": {cx: text}, "description": {k: v},
+                 "weight": w?}            -- weight omitted = noScore
+  LimitedResult {"result": [...], "offset": o, "max": m, "count": n}
+  RankedDoc     document JSON + {"score": s} (Intermediate.hs:386-392)
+  CmdResult     {"code": 0, "res": ...}; errors {"code": c, "msg": m}
+                (Command.hs:227-250)
+
+Built on stdlib ``http.server`` only (no web framework in the sandbox);
+the handler holds the SparkSession's engine, so requests execute Spark
+jobs in-process — the deployment shape of a driver-side query frontend
+(executors fan out underneath, exactly like hunt-server holding the
+index XMVar while Warp threads serve).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+
+
+class HuntApiError(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+        self.msg = msg
+
+
+def _limited(rows: list[dict], offset: int, mx: int) -> dict:
+    """mkLimitedResult (ApiDocument.hs:72-81): max < 0 = unlimited.
+    ``rows`` is the already-offset/limited page; count mirrors the
+    reference's ``length xs`` over the returned page."""
+    return {"result": rows, "offset": offset, "max": mx, "count": len(rows)}
+
+
+def _ranked(row, with_weight: bool = False) -> dict:
+    d = {"uri": row["url"], "score": float(row["score"])}
+    desc = row["description"] if "description" in row.__fields__ else None
+    d["description"] = dict(desc) if desc else {}
+    if with_weight:
+        d["weight"] = float(row["weight"])
+    return d
+
+
+class HuntServer:
+    """Serve a HuntEngine over HTTP; start()/shutdown() for embedding,
+    serve_forever() for a standalone process."""
+
+    def __init__(self, engine: HuntEngine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # one request at a time per path is fine; Spark driver
+            # serializes job submission anyway
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _reply(self, status: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _dispatch(self, fn) -> None:
+                try:
+                    self._reply(200, fn())
+                except HuntApiError as e:
+                    self._reply(e.code, {"code": e.code, "msg": e.msg})
+                except Exception as e:  # noqa: BLE001 — wire boundary
+                    self._reply(500, {"code": 500, "msg": str(e)})
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b""
+                try:
+                    return json.loads(raw or b"null")
+                except json.JSONDecodeError as e:
+                    raise HuntApiError(400, f"invalid JSON body: {e}") from e
+
+            def do_GET(self):
+                self._dispatch(lambda: outer.handle_get(self.path))
+
+            def do_POST(self):
+                body = None
+                try:
+                    body = self._body()
+                except HuntApiError as e:
+                    return self._reply(e.code, {"code": e.code, "msg": e.msg})
+                self._dispatch(lambda: outer.handle_mutate("POST", self.path, body))
+
+            def do_PUT(self):
+                body = self._body()
+                self._dispatch(lambda: outer.handle_mutate("PUT", self.path, body))
+
+            def do_DELETE(self):
+                body = self._body()
+                self._dispatch(lambda: outer.handle_mutate("DELETE", self.path, body))
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ------------------------------------------------------
+    def start(self) -> "HuntServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # -- GET routes -----------------------------------------------------
+    def handle_get(self, path: str):
+        u = urllib.parse.urlparse(path)
+        parts = [urllib.parse.unquote(p) for p in u.path.split("/") if p]
+        qs = urllib.parse.parse_qs(u.query)
+
+        def qint(name: str, default: int) -> int:
+            try:
+                return int(qs[name][0]) if name in qs else default
+            except ValueError as e:
+                raise HuntApiError(400, f"bad {name}") from e
+
+        if not parts:
+            raise HuntApiError(404, "not found")
+        if parts[0] == "search" and len(parts) == 2:
+            return self._search(
+                parts[1], qint("offset", 0), qint("limit", 10), weight=False
+            )
+        if parts[0] == "weight" and len(parts) == 2:
+            # WeightAPI: search returning document weights (API.hs:110-113)
+            return self._search(parts[1], 0, -1, weight=True)
+        if parts[0] == "select" and len(parts) == 2:
+            return self._select(parts[1])
+        if parts[0] == "completion" and len(parts) == 2:
+            return self._completion(parts[1], qint("limit", 10))
+        if parts[0] == "status":
+            return {"code": 0, "res": self.engine.status()}
+        raise HuntApiError(404, f"no route for {u.path}")
+
+    # -- mutations ------------------------------------------------------
+    def handle_mutate(self, verb: str, path: str, body):
+        parts = [p for p in path.split("/") if p]
+        if parts == ["document"]:
+            if verb == "POST":
+                self._insert_docs([self._api_doc(body)])
+            elif verb == "PUT":
+                self._update_docs([self._api_doc(body)])
+            else:
+                self.engine.delete_docs([self._api_doc(body)["uri"]])
+            return {"code": 0, "res": None}
+        if parts == ["eval"] and verb == "POST":
+            return self._eval(body)
+        raise HuntApiError(404, f"no route for {verb} /{'/'.join(parts)}")
+
+    # -- helpers --------------------------------------------------------
+    @staticmethod
+    def _api_doc(j) -> dict:
+        if not isinstance(j, dict) or "uri" not in j:
+            raise HuntApiError(400, "ApiDocument needs a uri")
+        desc = {
+            k: v if isinstance(v, str) else json.dumps(v)  # FV_Json convention
+            for k, v in (j.get("description") or {}).items()
+        }
+        return {
+            "uri": j["uri"],
+            "index": j.get("index") or {},
+            "description": desc,
+            # adWght 0.0 = noScore = default weight (ApiDocument.hs:140-141)
+            "weight": float(j["weight"]) if j.get("weight") else None,
+        }
+
+    def _docs_frame(self, docs: list[dict]):
+        spark = self.engine.spark
+        contexts = sorted({cx for d in docs for cx in d["index"]})
+        rows = [
+            tuple(
+                [d["uri"], d["weight"], d["description"] or None]
+                + [d["index"].get(cx) for cx in contexts]
+            )
+            for d in docs
+        ]
+        schema = "url string, weight double, description map<string,string>"
+        for cx in contexts:
+            schema += f", `{cx}` string"
+        df = spark.createDataFrame(rows, schema)
+        if all(d["weight"] is None for d in docs):
+            df = df.drop("weight")  # noScore: let the engine default/keep
+        else:
+            df = df.withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+        return df, {cx: F.col(f"`{cx}`") for cx in contexts}
+
+    def _insert_docs(self, docs: list[dict]) -> None:
+        df, cx = self._docs_frame(docs)
+        try:
+            self.engine.insert(df, cx)
+        except KeyError as e:
+            raise HuntApiError(400, str(e)) from e
+
+    def _update_docs(self, docs: list[dict]) -> None:
+        df, cx = self._docs_frame(docs)
+        try:
+            self.engine.update(df, cx)
+        except KeyError as e:
+            raise HuntApiError(400, str(e)) from e
+
+    def _parse(self, q: str):
+        from hunt_spark.plans.parser import ParseError, parse_query
+
+        try:
+            return parse_query(q)
+        except ParseError as e:
+            # hunt-server replies 400 with the parser message on a bad
+            # query (Server.hs javascript-error contract)
+            raise HuntApiError(400, f"parse error: {e}") from e
+
+    def _search(self, q: str, offset: int, mx: int, weight: bool) -> dict:
+        ast = self._parse(q)
+        fields = ["description"] if "description" in self.engine.doc_meta().columns else []
+        k = mx if mx >= 0 else (1 << 31)
+        rows = self.engine.search(ast, k=k, offset=offset, fields=fields).collect()
+        return _limited([_ranked(r, weight) for r in rows], offset, mx)
+
+    def _select(self, q: str) -> dict:
+        ast = self._parse(q)
+        ids = self.engine.select(ast)
+        dm = self.engine.doc_meta()
+        rows = (
+            ids.join(dm, "doc_id")
+            .select("url", *(["description"] if "description" in dm.columns else []))
+            .orderBy("url")
+            .collect()
+        )
+        out = [
+            {
+                "uri": r["url"],
+                # Select is unscored — defScore (Processor.hs:194-246)
+                "score": 1.0,
+                "description": dict(r["description"])
+                if "description" in r.__fields__ and r["description"]
+                else {},
+            }
+            for r in rows
+        ]
+        return _limited(out, 0, -1)
+
+    def _completion(self, q: str, mx: int) -> list:
+        rows = self.engine.complete_query(q, k=mx).collect()
+        return [[r["term"], float(r["score"])] for r in rows]
+
+    # -- /eval (Command.hs:194-224) --------------------------------------
+    def _eval(self, cmd):
+        if isinstance(cmd, list):  # Sequence
+            res = None
+            # batch adjacent inserts like splitBatch (Command.hs:300-317)
+            pending: list[dict] = []
+
+            def flush():
+                if pending:
+                    self._insert_docs(pending)
+                    pending.clear()
+
+            for c in cmd:
+                if isinstance(c, dict) and c.get("cmd") == "insert":
+                    pending.append(self._api_doc(c.get("document")))
+                else:
+                    flush()
+                    res = self._eval(c)
+            flush()
+            return res if res is not None else {"code": 0, "res": None}
+        if not isinstance(cmd, dict) or "cmd" not in cmd:
+            raise HuntApiError(400, "not a command")
+        c = cmd["cmd"]
+        if c == "search":
+            return {
+                "code": 0,
+                "res": self._search(
+                    cmd["query"],
+                    int(cmd.get("offset", 0)),
+                    int(cmd.get("max", -1)),
+                    bool(cmd.get("weight", False)),
+                ),
+            }
+        if c == "completion":
+            return {"code": 0, "res": self._completion(cmd["text"], int(cmd["max"]))}
+        if c == "select":
+            return {"code": 0, "res": self._select(cmd["query"])}
+        if c == "insert":
+            self._insert_docs([self._api_doc(cmd.get("document"))])
+            return {"code": 0, "res": None}
+        if c == "update":
+            self._update_docs([self._api_doc(cmd.get("document"))])
+            return {"code": 0, "res": None}
+        if c == "delete":
+            self.engine.delete_docs([cmd["uri"]])
+            return {"code": 0, "res": None}
+        if c == "delete-by-query":
+            self.engine.delete_by_query(self._parse(cmd["query"]))
+            return {"code": 0, "res": None}
+        if c == "insert-context":
+            sch = cmd.get("schema") or {}
+            try:
+                self.engine.insert_context(
+                    cmd["context"],
+                    ctype=sch.get("type", "text"),
+                    weight=float(sch.get("weight", 1.0)),
+                )
+            except ValueError as e:
+                raise HuntApiError(400, str(e)) from e
+            return {"code": 0, "res": None}
+        if c == "delete-context":
+            try:
+                self.engine.delete_context(cmd["context"])
+            except KeyError as e:
+                raise HuntApiError(400, str(e)) from e
+            return {"code": 0, "res": None}
+        if c == "status":
+            return {"code": 0, "res": self.engine.status()}
+        if c == "noop":
+            return {"code": 0, "res": None}
+        raise HuntApiError(400, f"unknown command {c!r}")

@@ -1,0 +1,186 @@
+"""HTTP API surface (hunt_spark/server.py) — same endpoints and JSON
+wire shapes as hunt-server's Servant API (hunt-api/src/Hunt/API.hs).
+Exercised end-to-end over a real socket with urllib."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.server import HuntServer
+from hunt_spark.sources.corpus import corpus_df
+
+from conftest import context_cols_from_html
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("http_index"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2,
+                                              block_size=256))
+    eng.build(corpus_df(spark, 120, partitions=2), context_cols_from_html(),
+              build_id="http")
+    srv = HuntServer(eng).start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def _send(srv, method, path, payload):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def q(s: str) -> str:
+    return urllib.parse.quote(s, safe="")
+
+
+def test_search_limited_result_shape(server):
+    status, body = _get(server, f"/search/{q('!the')}?offset=0&limit=5")
+    assert status == 200
+    # LimitedResult wire shape (ApiDocument.hs:118-124)
+    assert set(body) == {"result", "offset", "max", "count"}
+    assert body["max"] == 5 and body["offset"] == 0
+    assert 0 < len(body["result"]) <= 5
+    rd = body["result"][0]
+    # RankedDoc = document + score (Intermediate.hs:386-392)
+    assert {"uri", "score", "description"} <= set(rd)
+    scores = [r["score"] for r in body["result"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_matches_engine(server):
+    _, body = _get(server, f"/search/{q('!the')}?limit=10")
+    wire = [r["uri"] for r in body["result"]]
+    direct = [r["url"] for r in server.engine.search("!the", k=10).collect()]
+    assert wire == direct
+
+
+def test_search_pagination(server):
+    _, full = _get(server, f"/search/{q('!the')}?limit=6")
+    _, page = _get(server, f"/search/{q('!the')}?offset=3&limit=3")
+    assert [r["uri"] for r in page["result"]] == [
+        r["uri"] for r in full["result"][3:6]
+    ]
+
+
+def test_bad_query_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, f"/search/{q('AND AND (')}")
+    assert ei.value.code == 400
+    err = json.loads(ei.value.read())
+    assert err["code"] == 400 and "parse" in err["msg"].lower()
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/frobnicate/x")
+    assert ei.value.code == 404
+
+
+def test_completion_suggestion_shape(server):
+    _, body = _get(server, f"/completion/{q('th')}?limit=5")
+    # Suggestion = [(word, score)] (API.hs:67-76)
+    assert isinstance(body, list) and len(body) <= 5
+    for word, score in body:
+        assert word.lower().startswith("th") and score > 0
+
+
+def test_select_unscored(server):
+    _, body = _get(server, f"/select/{q('!the')}")
+    assert body["max"] == -1
+    assert all(r["score"] == 1.0 for r in body["result"])
+    assert len(body["result"]) == server.engine.select("!the").count()
+
+
+def test_document_lifecycle_and_eval(server):
+    doc = {
+        "uri": "http://example.org/http-doc",
+        "index": {"title": "zephyrhttp quux", "body": "zephyrhttp body words"},
+        "description": {"author": "ada", "stars": 5},
+    }
+    st, res = _send(server, "POST", "/document", doc)
+    assert st == 200 and res == {"code": 0, "res": None}
+    _, found = _get(server, f"/search/{q('zephyrhttp')}?limit=5")
+    assert [r["uri"] for r in found["result"]] == [doc["uri"]]
+    # typed description values ride the FV_Json convention
+    assert found["result"][0]["description"]["author"] == "ada"
+    assert found["result"][0]["description"]["stars"] == "5"
+
+    # PUT = update: description merges key-wise (ContextIndex.hs:326-354)
+    upd = {
+        "uri": doc["uri"],
+        "index": {"title": "zephyrhttp updated"},
+        "description": {"stars": 7},
+    }
+    _send(server, "PUT", "/document", upd)
+    _, found = _get(server, f"/search/{q('zephyrhttp')}?limit=5")
+    d = found["result"][0]["description"]
+    assert d["stars"] == "7" and d["author"] == "ada"
+
+    # /eval batch: search command result mirrors GET
+    st, res = _send(
+        server, "POST", "/eval",
+        {"cmd": "search", "query": "zephyrhttp", "max": 5},
+    )
+    assert res["code"] == 0 and res["res"]["result"][0]["uri"] == doc["uri"]
+
+    # DELETE /document by uri
+    _send(server, "DELETE", "/document", {"uri": doc["uri"]})
+    _, gone = _get(server, f"/search/{q('zephyrhttp')}?limit=5")
+    assert gone["result"] == []
+
+
+def test_eval_sequence_and_contexts(server):
+    seq = [
+        {"cmd": "insert-context", "context": "tags",
+         "schema": {"type": "text", "weight": 2.0}},
+        {"cmd": "insert", "document": {
+            "uri": "http://example.org/seq1", "index": {"tags": "seqalpha"}}},
+        {"cmd": "insert", "document": {
+            "uri": "http://example.org/seq2", "index": {"tags": "seqalpha seqbeta"}}},
+        {"cmd": "search", "query": "seqalpha", "max": 10},
+    ]
+    st, res = _send(server, "POST", "/eval", seq)
+    assert st == 200 and res["code"] == 0
+    uris = sorted(r["uri"] for r in res["res"]["result"])
+    assert uris == ["http://example.org/seq1", "http://example.org/seq2"]
+
+    # duplicate context registration fails like the reference
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(server, "POST", "/eval",
+              {"cmd": "insert-context", "context": "tags", "schema": {}})
+    assert ei.value.code == 400
+
+    _send(server, "POST", "/eval", {"cmd": "delete-context", "context": "tags"})
+    _, after = _get(server, f"/search/{q('seqalpha')}?limit=5")
+    assert after["result"] == []
+
+
+def test_insert_unknown_context_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(server, "POST", "/document",
+              {"uri": "http://example.org/bad", "index": {"nope": "x"}})
+    assert ei.value.code == 400
+
+
+def test_status(server):
+    _, body = _get(server, "/status/gc")
+    assert body["code"] == 0 and "postings" in body["res"]["tables"]
