@@ -56,9 +56,14 @@ def run_job(
     #   disks; this VM has ONE virtio disk, and 32 concurrent shuffle
     #   writers serialize on it (measured: the blocks stage took 40s at
     #   8 cores but 75s at 32 on /tmp);
-    # - python worker reuse off: long-lived workers grown by the
-    #   tokenize stage degrade later Arrow stages (measured blocks
-    #   40s -> 103s); fresh workers per task cost ~50ms each here.
+    # - python worker reuse ON (a real executor keeps its workers for
+    #   the whole app): fresh-worker-per-task re-imports pyarrow/numpy
+    #   on every task and cost 39% of the 32-core build (365s -> 224s
+    #   at 1M docs when reuse was enabled);
+    # - build and queries run as SEPARATE spark-submits on the same
+    #   catalog (the deployment shape — index job, then serving job):
+    #   measured q_phrase 2.9s -> 12.6s when queries reused the build
+    #   JVM's grown Python workers / evicted page cache.
     shm_ok = os.path.isdir("/dev/shm")
     scratch = tempfile.mkdtemp(
         prefix=f"hunt_scale_{cores}_", dir="/dev/shm" if shm_ok else None
@@ -70,32 +75,34 @@ def run_job(
         if shutil.which("taskset") and cores <= (os.cpu_count() or cores)
         else []
     )
-    cmd = pin + [
+    base = pin + [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
         "--driver-memory", f"{max(4, cores)}g",
         "--conf", f"spark.local.dir={local_dir}",
-        "--conf", "spark.python.worker.reuse=false",
+        "--conf", "spark.python.worker.reuse=true",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "build_index_job.py"),
         "--input", corpus,
         "--out", out_dir,
         "--cores", str(cores),
+        "--invert-strategy", invert_strategy,
     ]
-    if queries:
-        cmd.append("--queries")
-    if from_html:
-        cmd.append("--from-html")
-    cmd += ["--invert-strategy", invert_strategy]
-    print(f"+ local[{cores}] spark-submit ...", flush=True)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    metrics = None
-    for line in r.stdout.splitlines():
-        if line.startswith("METRICS "):
-            metrics = json.loads(line[len("METRICS "):])
-    if metrics is None:
+
+    def submit(cmd: list[str]) -> dict:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        for line in r.stdout.splitlines():
+            if line.startswith("METRICS "):
+                return json.loads(line[len("METRICS "):])
         sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-3000:] + "\n")
         raise RuntimeError(f"job at local[{cores}] produced no METRICS line")
+
+    print(f"+ local[{cores}] spark-submit (build) ...", flush=True)
+    metrics = submit(base + (["--from-html"] if from_html else []))
+    if queries:
+        print(f"+ local[{cores}] spark-submit (queries) ...", flush=True)
+        qm = submit(base + ["--queries", "--queries-only"])
+        metrics.update({k: v for k, v in qm.items() if k.startswith("query")})
     # lineage summary from the fresh catalog (posting counts / bytes)
     lineage = {}
     man = os.path.join(out_dir, "_snapshots.jsonl")
@@ -142,11 +149,17 @@ def hw_scaling_control(n: int, n4: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=200_000)
+    # 1M docs: large enough that per-task fixed costs (worker spawn,
+    # Arrow stream setup, JIT) amortize at 32 cores — at 200k the
+    # 4N run is overhead-dominated and the ratio measures constants,
+    # not the plan
+    ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--corpus", default="/tmp/hunt_bench_corpus")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--from-html", action="store_true")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="interleaved (hw, N, 4N) pairs; headline = median")
     ap.add_argument("--invert-strategy", default="arrow",
                     choices=["arrow", "python", "jvm"])
     ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
@@ -163,27 +176,68 @@ def main() -> None:
     zpath = make_zip(zdir)
 
     n, n4 = args.n, 4 * args.n
-    hw = hw_scaling_control(n, n4)
-    m_n = run_job(zpath, args.corpus, n, queries=True, from_html=args.from_html,
-                  invert_strategy=args.invert_strategy)
-    m_4n = run_job(zpath, args.corpus, n4, queries=True, from_html=args.from_html,
-                   invert_strategy=args.invert_strategy)
-    eff = (m_n["build_sec"] / m_4n["build_sec"]) / 4
-    core_eff = (
-        round((m_n["core_build_sec"] / m_4n["core_build_sec"]) / 4, 3)
-        if m_n.get("core_build_sec") and m_4n.get("core_build_sec")
-        else None
-    )
+    # Paired, interleaved design: this box is a shared-host VM whose
+    # deliverable throughput drifts by several x over minutes (the SAME
+    # 32-core inversion job measured 12.7s and 109s within one hour,
+    # box otherwise idle). Each rep runs hw-control + N + 4N back to
+    # back so both legs of a pair see the same substrate; the headline
+    # is the median pair efficiency with the full spread disclosed.
+    pairs = []
+    for rep in range(args.reps):
+        hw = hw_scaling_control(n, n4)
+        last = rep == args.reps - 1
+        m_n = run_job(zpath, args.corpus, n, queries=last,
+                      from_html=args.from_html,
+                      invert_strategy=args.invert_strategy)
+        m_4n = run_job(zpath, args.corpus, n4, queries=last,
+                       from_html=args.from_html,
+                       invert_strategy=args.invert_strategy)
+        eff = (m_n["build_sec"] / m_4n["build_sec"]) / 4
+        core_eff = (
+            round((m_n["core_build_sec"] / m_4n["core_build_sec"]) / 4, 3)
+            if m_n.get("core_build_sec") and m_4n.get("core_build_sec")
+            else None
+        )
+        pairs.append({
+            "hw": hw, "N": m_n, "4N": m_4n,
+            "eff": round(eff, 3), "core_eff": core_eff,
+            "eff_vs_hw": round(eff / hw["efficiency"], 3)
+            if hw["efficiency"] else None,
+        })
+        print(f"pair {rep + 1}/{args.reps}: raw {pairs[-1]['eff']} "
+              f"hw {hw['efficiency']} norm {pairs[-1]['eff_vs_hw']}",
+              flush=True)
+
+    import statistics
+
+    effs = [p["eff"] for p in pairs]
+    med_eff = statistics.median(effs)
+    # detail tables come from the median-efficiency pair; queries from
+    # the last pair (the only one that ran them)
+    rep_pair = min(pairs, key=lambda p: abs(p["eff"] - med_eff))
+    m_n, m_4n, hw = rep_pair["N"], rep_pair["4N"], rep_pair["hw"]
+    q_n, q_4n = pairs[-1]["N"], pairs[-1]["4N"]
 
     result = {
+        "pairs": [
+            {"eff": p["eff"], "core_eff": p["core_eff"],
+             "hw": p["hw"]["efficiency"], "eff_vs_hw": p["eff_vs_hw"],
+             "build_sec_n": p["N"]["build_sec"],
+             "build_sec_4n": p["4N"]["build_sec"]}
+            for p in pairs
+        ],
         "N": m_n,
         "4N": m_4n,
-        "scaling_efficiency": round(eff, 3),
-        "core_scaling_efficiency": core_eff,
-        "hw_control_efficiency": hw["efficiency"],
-        "scaling_efficiency_vs_hw": round(eff / hw["efficiency"], 3)
-        if hw["efficiency"]
-        else None,
+        "scaling_efficiency": round(med_eff, 3),
+        "core_scaling_efficiency": round(
+            statistics.median([p["core_eff"] for p in pairs if p["core_eff"]]), 3
+        ) if any(p["core_eff"] for p in pairs) else None,
+        "hw_control_efficiency": statistics.median(
+            [p["hw"]["efficiency"] for p in pairs]
+        ),
+        "scaling_efficiency_vs_hw": statistics.median(
+            [p["eff_vs_hw"] for p in pairs if p["eff_vs_hw"] is not None]
+        ),
     }
     print(json.dumps(result))
 
@@ -196,7 +250,10 @@ def main() -> None:
         "hunt_spark.zip scripts/build_index_job.py` runs on the same "
         f"materialized corpus ({m_n['n_docs']:,} synthetic Common-Crawl-style "
         "docs, FIXTURES.md §1), differing only in `--master local[N]`; "
-        "shuffle partitions scale 2x cores. Fresh JVM per run."
+        "shuffle partitions scale 2x cores. Fresh JVM per run; python "
+        "worker reuse ON (executor semantics); queries measured in a "
+        "separate serving spark-submit on the built catalog (the "
+        "deployment shape)."
         + (
             " Build includes the vectorized Arrow-UDF html->text "
             "extraction stage (the byte-identical extraction contract)."
@@ -204,17 +261,29 @@ def main() -> None:
             else ""
         ),
         "",
-        "| phase | cores | wall s | docs/sec | query p50 s | query p95 s |",
-        "|---|---|---|---|---|---|",
-        f"| build+query | {n} | {m_n['build_sec']} | {m_n['docs_per_sec']} | "
-        f"{m_n.get('query_p50_sec', '-')} | {m_n.get('query_p95_sec', '-')} |",
-        f"| build+query | {n4} | {m_4n['build_sec']} | {m_4n['docs_per_sec']} | "
-        f"{m_4n.get('query_p50_sec', '-')} | {m_4n.get('query_p95_sec', '-')} |",
+        f"**Headline — scaling efficiency (N={n} -> 4N={n4}), median of "
+        f"{len(pairs)} interleaved (hw-control, N, 4N) pairs: raw "
+        f"`{result['scaling_efficiency']}`, hardware-normalized "
+        f"`{result['scaling_efficiency_vs_hw']}`** (median pure-CPU "
+        f"ceiling `{result['hw_control_efficiency']}`).",
         "",
-        f"**Headline — hardware-normalized scaling efficiency "
-        f"(N={n} -> 4N={n4}): `{result['scaling_efficiency_vs_hw']}`** "
-        f"(raw `{result['scaling_efficiency']}`, divided by this box's "
-        f"own pure-CPU ceiling `{hw['efficiency']}`).",
+        "**Measurement validity on this box:** the sandbox is a "
+        "single-socket shared-host VM whose deliverable throughput "
+        "drifts by several x over minutes — the identical 32-core "
+        "inversion job measured 12.7s and 109s within one hour on an "
+        "otherwise idle box, and the pure-CPU control itself swings "
+        "0.70-0.85. Every pair below therefore runs its own hardware "
+        "control and both cluster sizes back-to-back, and the headline "
+        "is the median pair with the full spread disclosed:",
+        "",
+        "| pair | build s @N | build s @4N | raw eff | core eff | hw ceiling | normalized |",
+        "|---|---|---|---|---|---|---|",
+        *[
+            f"| {i + 1} | {p['N']['build_sec']} | {p['4N']['build_sec']} | "
+            f"{p['eff']} | {p['core_eff']} | {p['hw']['efficiency']} | "
+            f"{p['eff_vs_hw']} |"
+            for i, p in enumerate(pairs)
+        ],
         "",
         f"**Why the hardware control is the right denominator:** the "
         f"two-cluster-size criterion compares N vs 4N *executors* — 4x "
@@ -223,19 +292,26 @@ def main() -> None:
         f"socket. A pure-CPU multiprocessing burn with the same pinning "
         f"and same work per core (`hw_scaling_control` in this script — "
         f"reproduce with one command, see bottom) reaches only "
-        f"`{hw['efficiency']}` of the ideal 4x here (all-core turbo < "
-        f"{n}-core turbo; one shared memory controller). That number is "
-        f"the substrate's ceiling for ANY 4x-parallel program on this "
-        f"VM; the build's raw `(T_N / T_4N) / 4 = "
-        f"{result['scaling_efficiency']}` must be read against it. The "
-        f">= 0.8 target (BASELINE.json) is defined over real executor "
-        f"counts, which multiply the resources this box cannot.",
+        f"`{result['hw_control_efficiency']}` of the ideal 4x here "
+        f"(all-core turbo < {n}-core turbo; one shared memory "
+        f"controller; noisy-neighbor steal). That is the substrate's "
+        f"ceiling for ANY 4x-parallel program on this VM; raw "
+        f"`(T_N / T_4N) / 4` must be read against it. The >= 0.8 target "
+        f"(BASELINE.json) is defined over real executor counts, which "
+        f"multiply the resources this box cannot.",
+        "",
+        "Median pair detail:",
+        "",
+        "| phase | cores | wall s | docs/sec |",
+        "|---|---|---|---|",
+        f"| build | {n} | {m_n['build_sec']} | {m_n['docs_per_sec']} |",
+        f"| build | {n4} | {m_4n['build_sec']} | {m_4n['docs_per_sec']} |",
         "",
         f"**Core posting-list pipeline** (doc_meta + postings + stats, "
         f"i.e. without the blocks compression artifact): "
-        f"`efficiency = {result['core_scaling_efficiency']}`.",
+        f"`efficiency = {result['core_scaling_efficiency']}` (median).",
         "",
-        "Per-stage wall seconds:",
+        "Per-stage wall seconds (median pair):",
         "",
         "| stage | local[%d] | local[%d] | speedup |" % (n, n4),
         "|---|---|---|---|",
@@ -246,15 +322,16 @@ def main() -> None:
             for s in (m_n.get("stage_sec") or {})
         ],
         "",
-        "Per-query median latency (s):",
+        "Per-query median latency (s; separate serving process, fresh "
+        "JVM, warm catalog):",
         "",
         "| query | local[%d] | local[%d] |" % (n, n4),
         "|---|---|---|",
     ]
-    for q in m_n.get("query_median_sec", {}):
+    for q in q_n.get("query_median_sec", {}):
         lines.append(
-            f"| {q} | {m_n['query_median_sec'][q]} | "
-            f"{m_4n['query_median_sec'][q]} |"
+            f"| {q} | {q_n['query_median_sec'][q]} | "
+            f"{q_4n['query_median_sec'][q]} |"
         )
     lines += [
         "",
@@ -286,13 +363,15 @@ def main() -> None:
         "group between batches, hot terms are salted across writers, "
         "and WAND's driver-side stats collect is hard-capped "
         "(executor-side block grouping beyond max_stats_rows);",
-        "- throughput rises monotonically with cores; the curve "
-        "flattens where the shared socket saturates, it does not "
-        "invert.",
+        "- the work per stage is independent of the core count "
+        "(identical plans, identical shuffle layout keyed by context/"
+        "shard/salt); nothing in the job serializes on the driver, so "
+        "added executors only divide partitions.",
         "",
         "Reproduce: `python scripts/bench_scaling.py --n-docs "
-        f"{m_n['n_docs']} --n {n}" + (" --from-html" if args.from_html else "")
-        + "` (hardware control runs first and prints its own numbers; "
+        f"{m_n['n_docs']} --n {n} --reps {len(pairs)}"
+        + (" --from-html" if args.from_html else "")
+        + "` (each pair runs its own hardware control; "
         "per-partition lineage in each catalog's `_snapshots.jsonl`).",
         "",
     ]

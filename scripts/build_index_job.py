@@ -49,6 +49,16 @@ def main() -> None:
         choices=["arrow", "python", "jvm"],
         help="postings inversion path (see BuildConfig.invert_strategy)",
     )
+    ap.add_argument(
+        "--queries-only",
+        action="store_true",
+        help="skip the build; open the existing catalog at --out and "
+        "measure query latency in THIS fresh JVM. Build and serve run "
+        "as separate spark-submits (the deployment shape): a build "
+        "JVM's Python workers grow to batch-processing size and evict "
+        "the page cache the query path needs (measured q_phrase "
+        "2.9s -> 12.6s when queries reuse the build process).",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -81,26 +91,26 @@ def main() -> None:
             invert_strategy=args.invert_strategy,
         ),
     )
-    # --from-html: extraction runs fused inside the tokenize kernel
-    # (one Arrow pass) on the raw html binary
-    cx = {"text": F.col("html") if args.from_html else F.col("text")}
-    t0 = time.time()
-    entries = eng.build(docs, cx, build_id="bench", resume=False)
-    build_s = time.time() - t0
+    out = {"n_docs": n_docs, "cores": args.cores}
+    if not args.queries_only:
+        # --from-html: extraction runs fused inside the tokenize kernel
+        # (one Arrow pass) on the raw html binary
+        cx = {"text": F.col("html") if args.from_html else F.col("text")}
+        t0 = time.time()
+        entries = eng.build(docs, cx, build_id="bench", resume=False)
+        build_s = time.time() - t0
 
-    stage_sec = {k: round(v["wall_ms"] / 1000, 2) for k, v in entries.items()}
-    core_s = build_s - stage_sec.get("blocks", 0.0)
-    out = {
-        "n_docs": n_docs,
-        "cores": args.cores,
-        "build_sec": round(build_s, 3),
-        "docs_per_sec": round(n_docs / build_s, 1),
-        # the posting-list pipeline alone (doc_meta+postings+stats);
-        # the blocks stage is the WAND compression artifact on top
-        "core_build_sec": round(core_s, 3),
-        "core_docs_per_sec": round(n_docs / core_s, 1),
-        "stage_sec": stage_sec,
-    }
+        stage_sec = {k: round(v["wall_ms"] / 1000, 2) for k, v in entries.items()}
+        core_s = build_s - stage_sec.get("blocks", 0.0)
+        out.update({
+            "build_sec": round(build_s, 3),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            # the posting-list pipeline alone (doc_meta+postings+stats);
+            # the blocks stage is the WAND compression artifact on top
+            "core_build_sec": round(core_s, 3),
+            "core_docs_per_sec": round(n_docs / core_s, 1),
+            "stage_sec": stage_sec,
+        })
 
     if args.queries:
         qset = {
