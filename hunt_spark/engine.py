@@ -421,14 +421,42 @@ class HuntEngine:
         docs: DataFrame,
         context_cols: dict[str, Column],
         refresh_stats: bool = True,
+        validate_uris: bool = True,
     ) -> None:
         """Incremental insert: append postings/doc_meta snapshots, then
         recompute stats (Iceberg appends on a cluster). Streaming
         micro-batches pass ``refresh_stats=False`` and refresh once per
         trigger window (stats are global aggregates; per-batch refresh
-        would serialize the stream on two extra jobs per batch)."""
+        would serialize the stream on two extra jobs per batch).
+
+        ``validate_uris`` mirrors Hunt's insert checks
+        (Interpreter.hs:421-480): a URI duplicated within the batch or
+        already present in the index is an error — Update is the
+        re-index verb. Streaming/bulk paths may disable it (two extra
+        jobs per call)."""
         self._check_contexts(context_cols)
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        if validate_uris:
+            dup = (
+                docs.groupBy("url").count().filter(F.col("count") > 1)
+                .select("url").limit(5).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate URIs in insert batch: {[r['url'] for r in dup]}"
+                )
+            try:
+                existing = (
+                    docs.select("doc_id")
+                    .join(self.doc_meta().select("doc_id"), "doc_id", "left_semi")
+                    .limit(1).count()
+                )
+            except FileNotFoundError:  # first insert into a fresh catalog
+                existing = 0
+            if existing:
+                raise ValueError(
+                    "insert of already-indexed URI(s); use update() to re-index"
+                )
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
         new_p = postings_from_contexts(docs, context_cols, self.cfg)

@@ -51,7 +51,12 @@ def stream_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        engine.insert(batch_df, context_cols, refresh_stats=False)
+        # validate_uris off: URI checks cost two jobs per micro-batch
+        # and replayed source files would spuriously fail them —
+        # exactly-once dedup belongs to the source/checkpoint contract
+        engine.insert(
+            batch_df, context_cols, refresh_stats=False, validate_uris=False
+        )
 
     writer = (
         src.writeStream.foreachBatch(process)

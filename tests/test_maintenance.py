@@ -69,6 +69,33 @@ def test_insert_closes_wand_gate(spark, eng):
     assert eng.wand() is None
 
 
+def test_insert_rejects_duplicate_and_existing_uris(spark, eng):
+    """Hunt's insert validation (Interpreter.hs:421-480): duplicate
+    URIs within a batch and URIs already in the index are errors —
+    Update is the re-index verb."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("test://dup", "a words"), ("test://dup", "b words")],
+        "url string, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate URIs"):
+        eng.insert(dup, {"text": F.col("text")})
+
+    already = spark.createDataFrame(
+        corpus_pandas(1), schema=CORPUS_SCHEMA  # doc 0 is indexed
+    )
+    with pytest.raises(ValueError, match="already-indexed"):
+        eng.insert(already, {"text": F.col("text")})
+    # validate_uris=False is the bulk/streaming escape hatch: the
+    # append itself succeeds (doc replacement then happens at
+    # compact/merge time in a real pipeline)
+    fresh = spark.createDataFrame(
+        corpus_pandas(5, offset=900), schema=CORPUS_SCHEMA
+    )
+    eng.insert(fresh, {"text": F.col("text")}, validate_uris=False)
+
+
 def test_search_field_selection(eng):
     res = eng.search("brain", k=3, fields=["lang", "warc_ts"])
     assert res.columns == ["doc_id", "url", "score", "lang", "warc_ts"]
