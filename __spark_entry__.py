@@ -38,6 +38,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    """Deterministically append PII-shaped footers (email+IP+SSN on
+    doc_id%7==0, phone+card on doc_id%11==0) — the oracle twin builds
+    the identical text, so the txt_pii gate verifies Java-regex/RE2
+    parity on non-trivial counts (the synthetic corpus has no digits)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    footer7 = F.concat(
+        F.lit(" contact user"), s, F.lit("@example.com or 10.0."),
+        (did % 256).cast("string"), F.lit("."),
+        ((did * 7) % 256).cast("string"), F.lit(" ssn 123-45-6789"),
+    )
+    footer11 = F.concat(
+        F.lit(" call 555-123-4567 card 4111 1111 1111 1111"),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, footer7).otherwise(F.lit("")),
+        F.when(did % 11 == 0, footer11).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     """Build (once per sf_dir) a single-context index over documents."""
     eng = _ENGINES.get(sf_dir)
@@ -168,6 +191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir)
         ),
         "txt_langid": lambda spark, sf_dir: textops.langid(_docs(spark, sf_dir)),
+        # PII contamination scan. The synthetic corpus is digit-free, so
+        # the gate plants deterministic PII footers (same expression in
+        # both engines) — the oracle then checks real regex parity, not
+        # a table of zeros; semantics on crafted strings are pinned by
+        # tests/test_textops_pii.py
+        "txt_pii": lambda spark, sf_dir: textops.pii_scan(
+            _pii_planted(_docs(spark, sf_dir))
+        ),
         # --- deduplication ---
         "dedup_exact": lambda spark, sf_dir: textops.dedup_exact(
             _docs(spark, sf_dir)
@@ -675,6 +706,47 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN de > en AND de > 0 THEN 'de'
                                 ELSE 'unk' END AS pred_lang
             FROM c
+        """,
+        # identical planted footers + identical pattern literals (no
+        # backrefs/lookarounds => Java regex == RE2)
+        "txt_pii": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          || ' ssn 123-45-6789'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN
+                          ' call 555-123-4567 card 4111 1111 1111 1111'
+                        ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+              CAST(len(regexp_extract_all(text,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_ccnum,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(text,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+               + len(regexp_extract_all(text,
+                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+               + len(regexp_extract_all(text,
+                '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+               + len(regexp_extract_all(text,
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii
+            FROM p
         """,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "

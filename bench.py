@@ -97,6 +97,7 @@ def main() -> None:
         "op_dedup_minhash": lambda: textops.minhash_lsh_pairs(docs, 0.8).count(),
         "op_simhash_pairs": lambda: textops.simhash_pairs(docs, 3).count(),
         "op_quality": lambda: textops.quality_stats(docs).count(),
+        "op_pii_scan": lambda: textops.pii_scan(docs).count(),
         "op_ann_cosine": lambda: cosine_topk(
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), [0, 1, 2, 3, 4], 5
         ).count(),

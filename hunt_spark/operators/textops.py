@@ -114,6 +114,47 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
 
 
+# PII patterns a training-data pipeline scrubs before use. No
+# lookarounds/backrefs: Java regex (Spark) and RE2 (DuckDB) must agree
+# token for token — parity pinned by the txt_pii gate and planted tests.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ccnum": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (email/IPv4/phone/credit-card/SSN
+    shapes) + total — the contamination-triage pass run before a corpus
+    is released for training. Pure JVM regexp_extract_all per pattern
+    (whole-stage codegen; one scan pass, no UDF)."""
+    counts = {
+        k: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
+        for k, p in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        total.cast("long").alias("n_pii"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII matches with typed sentinel tags (<EMAIL>, <IPV4>,
+    ...). Order matters: emails first so their digit/dot substrings are
+    gone before the narrower numeric patterns run."""
+    col = F.col(text_col)
+    for k in ("email", "ipv4", "ccnum", "ssn", "phone"):
+        col = F.regexp_replace(col, PII_PATTERNS[k], f"<{k.upper()}>")
+    return docs.select("doc_id", col.alias("text_redacted"))
+
+
 def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language heuristic (en vs de vs unknown).
     Deterministic and SQL-expressible; a real model would slot in as a
