@@ -54,6 +54,14 @@ class HuntEngine:
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
         self._wand_unavailable: str | None = None
+        # Serving-path plan cache: building a query's DataFrame costs
+        # hundreds of GIL-held py4j round trips (~0.5-1 s), which caps a
+        # single driver frontend at ~1 QPS however many HTTP threads run
+        # (measured: QPS 0.7/1.05/1.06 at client concurrency 1/4/16).
+        # DataFrames are immutable logical plans — reusing one across
+        # threads re-EXECUTES per collect(), so results stay fresh;
+        # the cache is invalidated with the compiler on any mutation.
+        self._plan_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------------
     # build / load
@@ -75,6 +83,7 @@ class HuntEngine:
         self._compiler = None
         self._doc_meta = None
         self._wand = None
+        self._plan_cache.clear()
 
     def _tombstones(self) -> DataFrame | None:
         try:
@@ -279,6 +288,22 @@ class HuntEngine:
         ``use_wand="auto"`` routes flat AND/OR-of-exact-words queries
         through the block-max pruned executor (plans/wand.py); results
         are rank-identical to the full plan (pinned by tests)."""
+        key = None
+        if isinstance(query, str):
+            key = (query, k, offset, use_wand, tuple(fields or ()))
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                return cached
+        res = self._search_plan(query, k, offset, use_wand, fields)
+        if key is not None:
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = res
+        return res
+
+    def _search_plan(
+        self, query, k: int, offset: int, use_wand, fields
+    ) -> DataFrame:
         ast = self._ast(query)
         c = self.compiler()
         scored = None

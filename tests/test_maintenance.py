@@ -69,6 +69,22 @@ def test_insert_closes_wand_gate(spark, eng):
     assert eng.wand() is None
 
 
+def test_plan_cache_serves_fresh_results_after_mutation(spark, eng):
+    """The serving-path plan cache reuses logical plans across repeated
+    string queries but must never serve stale results: any mutation
+    invalidates it."""
+    q = "'the'"
+    r1 = eng.search(q, k=5).collect()
+    assert (q, 5, 0, "auto", ()) in eng._plan_cache
+    r2 = eng.search(q, k=5).collect()  # served from the cached plan
+    assert [r["doc_id"] for r in r1] == [r["doc_id"] for r in r2]
+    url = r1[0]["url"]
+    eng.delete_docs([url])
+    assert not eng._plan_cache  # mutation cleared it
+    r3 = eng.search(q, k=5).collect()
+    assert url not in {r["url"] for r in r3}
+
+
 def test_insert_rejects_duplicate_and_existing_uris(spark, eng):
     """Hunt's insert validation (Interpreter.hs:421-480): duplicate
     URIs within a batch and URIs already in the index are errors —
