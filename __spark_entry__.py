@@ -38,6 +38,53 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _typed_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
+    """Typed-context index (int year / packed date / geo z-order) over
+    deterministic columns derived from doc_id with integer-only string
+    building — the DuckDB twins derive the identical values, so the
+    typed gates are checked against implementation-independent
+    semantics (BETWEEN on the raw numbers), not a re-implementation of
+    the z-order/zero-fill internals."""
+    key = sf_dir + "#typed"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        did = F.col("doc_id")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            # deterministic url: lexicographic == doc_id order
+            F.concat(F.lit("t"), F.lpad(did.cast("string"), 10, "0")).alias("url"),
+            (F.lit(1990) + did % 40).cast("string").alias("year"),
+            F.format_string(
+                "%04d-%02d-%02d",
+                (F.lit(1990) + did % 30),
+                (F.lit(1) + did % 12),
+                (F.lit(1) + did % 28),
+            ).alias("date"),
+            F.concat(
+                F.floor((did % 900) / 10).cast("string"), F.lit("."),
+                (did % 900 % 10).cast("string"), F.lit("-"),
+                F.floor(((did * 7) % 1790) / 10).cast("string"), F.lit("."),
+                ((did * 7) % 1790 % 10).cast("string"),
+            ).alias("pos"),
+        )
+        root = tempfile.mkdtemp(prefix="hunt_typed_idx_")
+        eng = HuntEngine(
+            spark, root,
+            BuildConfig(
+                n_shards=4, salt_buckets=2,
+                context_types={"year": "int", "date": "date", "pos": "geo"},
+                build_blocks=False, build_term_dict=False,
+            ),
+        )
+        eng.build(
+            docs,
+            {c: F.col(c) for c in ("year", "date", "pos")},
+            build_id=key,
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
 def _pii_planted(docs: DataFrame) -> DataFrame:
     """Deterministically append PII-shaped footers (email+IP+SSN on
     doc_id%7==0, phone+card on doc_id%11==0) — the oracle twin builds
@@ -163,6 +210,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hunt docLimit knob: scan truncated at a cumulative doc budget
         # in word order (Intermediate.hs:327-342 limitRawResult)
         "idx_prefix_doc_limit": _q_search_doc_limited("sc", doc_limit=5),
+        # typed contexts (I7/I10): engine answers via zero-fill /
+        # digit-pack / z-order term algebra; oracles check the SEMANTICS
+        # (BETWEEN on the raw derived numbers), not the encoding
+        "idx_int_range": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("year:[1995 TO 2010]"),
+        "idx_date_range": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("date:[1995-01-01 TO 2009-06-15]"),
+        "idx_geo_rect": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("pos:[10.0-20.0 TO 49.9-99.9]"),
         "idx_completion": lambda spark, sf_dir: (
             # rank on the fixed-point score (limit after rounding) so the
             # top-10 cut is bit-identical to the oracle's
@@ -707,6 +766,22 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 'unk' END AS pred_lang
             FROM c
         """,
+        # typed-context twins: implementation-independent semantics over
+        # the same doc_id-derived values (year/date/geo as raw numbers)
+        "idx_int_range": (
+            "SELECT doc_id FROM documents "
+            "WHERE 1990 + doc_id % 40 BETWEEN 1995 AND 2010"
+        ),
+        "idx_date_range": (
+            "SELECT doc_id FROM documents "
+            "WHERE (1990 + doc_id % 30) * 10000 + (1 + doc_id % 12) * 100 "
+            "+ (1 + doc_id % 28) BETWEEN 19950101 AND 20090615"
+        ),
+        "idx_geo_rect": (
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id % 900 BETWEEN 100 AND 499 "
+            "AND (doc_id * 7) % 1790 BETWEEN 200 AND 999"
+        ),
         # identical planted footers + identical pattern literals (no
         # backrefs/lookarounds => Java regex == RE2)
         "txt_pii": r"""
