@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--concurrency", default="1,4,16")
     ap.add_argument("--n-queries", type=int, default=64)
     ap.add_argument("--cache", action="store_true")
+    ap.add_argument(
+        "--start-at", type=float, default=0.0,
+        help="epoch seconds to wait for before the measured loop — the "
+        "fleet orchestrator (bench_serving_fleet.py) aligns several "
+        "frontends on one barrier so their throughputs overlap and sum",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -74,6 +80,10 @@ def main() -> None:
         return time.time() - t0
 
     one(QUERIES[0])  # warm: engine caches stats, JIT, page cache
+    if args.start_at:
+        delay = args.start_at - time.time()
+        if delay > 0:
+            time.sleep(delay)
 
     out = {"levels": {}}
     for c in (int(x) for x in args.concurrency.split(",")):
