@@ -105,21 +105,21 @@ class HuntServer:
             def do_GET(self):
                 self._dispatch(lambda: outer.handle_get(self.path))
 
-            def do_POST(self):
-                body = None
+            def _mutate(self, verb: str) -> None:
                 try:
                     body = self._body()
                 except HuntApiError as e:
                     return self._reply(e.code, {"code": e.code, "msg": e.msg})
-                self._dispatch(lambda: outer.handle_mutate("POST", self.path, body))
+                self._dispatch(lambda: outer.handle_mutate(verb, self.path, body))
+
+            def do_POST(self):
+                self._mutate("POST")
 
             def do_PUT(self):
-                body = self._body()
-                self._dispatch(lambda: outer.handle_mutate("PUT", self.path, body))
+                self._mutate("PUT")
 
             def do_DELETE(self):
-                body = self._body()
-                self._dispatch(lambda: outer.handle_mutate("DELETE", self.path, body))
+                self._mutate("DELETE")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

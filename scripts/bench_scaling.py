@@ -267,18 +267,18 @@ def main() -> None:
         "core_scaling_efficiency": round(
             statistics.median([p["core_eff"] for p in pairs if p["core_eff"]]), 3
         ) if any(p["core_eff"] for p in pairs) else None,
-        "hw_control_efficiency": statistics.median(
+        "hw_control_efficiency": round(statistics.median(
             [p["hw"]["efficiency"] for p in pairs]
-        ),
-        "bw_control_efficiency": statistics.median(
+        ), 3),
+        "bw_control_efficiency": round(statistics.median(
             [p["bw"]["efficiency"] for p in pairs]
-        ),
-        "scaling_efficiency_vs_hw": statistics.median(
+        ), 3),
+        "scaling_efficiency_vs_hw": round(statistics.median(
             [p["eff_vs_hw"] for p in pairs if p["eff_vs_hw"] is not None]
-        ),
-        "scaling_efficiency_vs_bw": statistics.median(
+        ), 3),
+        "scaling_efficiency_vs_bw": round(statistics.median(
             [p["eff_vs_bw"] for p in pairs if p["eff_vs_bw"] is not None]
-        ),
+        ), 3),
     }
     print(json.dumps(result))
 
@@ -421,6 +421,53 @@ def main() -> None:
             f"| {q} | {q_n['query_median_sec'][q]} | "
             f"{q_4n['query_median_sec'][q]} |"
         )
+    # serving sections from the separate serving benches, when recorded
+    single_p = os.path.join(os.path.dirname(args.out_md), "serving_single.json")
+    fleet_p = os.path.join(os.path.dirname(args.out_md), "serving_fleet.json")
+    if os.path.exists(single_p):
+        with open(single_p) as f:
+            sv = json.load(f)
+        lines += [
+            "",
+            "## Serving throughput (concurrent HTTP clients, one frontend)",
+            "",
+            "`spark-submit scripts/bench_serving.py --catalog <idx> "
+            "--record BENCH/serving_single.json` — fresh serving JVM, "
+            "FAIR scheduler, query plan cache:",
+            "",
+            "| client concurrency | QPS | p50 s | p95 s |",
+            "|---|---|---|---|",
+            *[
+                f"| {c} | {v['qps']} | {v['p50_s']} | {v['p95_s']} |"
+                for c, v in sv.get("levels", {}).items()
+            ],
+        ]
+    if os.path.exists(fleet_p):
+        with open(fleet_p) as f:
+            fl = json.load(f)
+        lines += [
+            "",
+            "## Serving scale-out (stateless frontends over one catalog)",
+            "",
+            f"`python scripts/bench_serving_fleet.py --catalog <idx>` — "
+            f"N spark-submit frontends on one start barrier, client "
+            f"concurrency {fl.get('concurrency')} each; the frontends "
+            "SPLIT this box's cores, where a real deployment gives each "
+            "replica its own:",
+            "",
+            "| frontends | cores each | combined QPS | per-frontend QPS |",
+            "|---|---|---|---|",
+            *[
+                f"| {r['frontends']} | {r['cores_each']} | "
+                f"{r['combined_qps']} | "
+                + ", ".join(str(q) for q in r["per_frontend_qps"]) + " |"
+                for r in fl.get("runs", [])
+            ],
+            "",
+            "Frontends share nothing but the immutable catalog — replica "
+            "count is the serving tier's scaling axis (hunt-server "
+            "replicas over one store).",
+        ]
     lines += [
         "",
         "Index artifact lineage at 4N (from the snapshot manifest's "

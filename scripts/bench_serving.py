@@ -45,6 +45,11 @@ def main() -> None:
         "fleet orchestrator (bench_serving_fleet.py) aligns several "
         "frontends on one barrier so their throughputs overlap and sum",
     )
+    ap.add_argument(
+        "--record", default=None,
+        help="write the result JSON here (e.g. BENCH/serving_single.json) "
+        "so bench_scaling.py renders it into BENCH/BASELINE.md",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -104,6 +109,9 @@ def main() -> None:
               f"p95={out['levels'][str(c)]['p95_s']}", flush=True)
 
     print("SERVING " + json.dumps(out))
+    if args.record:
+        with open(args.record, "w") as f:
+            json.dump(out, f)
     srv.shutdown()
     spark.stop()
 

@@ -83,6 +83,9 @@ def main() -> None:
               f"(per: {r['per_frontend_qps']}) p50={r['p50_s']}",
               flush=True)
     print("FLEET " + json.dumps(results))
+    # persist for bench_scaling.py's BASELINE.md serving section
+    with open(os.path.join(REPO, "BENCH", "serving_fleet.json"), "w") as f:
+        json.dump({"concurrency": args.concurrency, "runs": results}, f)
 
 
 if __name__ == "__main__":

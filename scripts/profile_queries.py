@@ -76,9 +76,9 @@ def main() -> None:
     out["cold"], out["warm"] = cold, warm
 
     if args.explain:
-        df = eng.search(QSET[args.explain], k=10, use_wand=use_wand)
-        print(df._sc is None)  # keep lint quiet about unused
-        df.explain("formatted")
+        eng.search(QSET[args.explain], k=10, use_wand=use_wand).explain(
+            "formatted"
+        )
 
     print("QPROFILE " + json.dumps(out))
     spark.stop()

@@ -174,6 +174,18 @@ def test_eval_sequence_and_contexts(server):
     assert after["result"] == []
 
 
+def test_malformed_body_is_400(server):
+    url = f"http://127.0.0.1:{server.port}/document"
+    req = urllib.request.Request(
+        url, data=b"{not json", method="PUT",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "invalid JSON" in json.loads(ei.value.read())["msg"]
+
+
 def test_insert_unknown_context_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _send(server, "POST", "/document",
