@@ -886,7 +886,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id,
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    count(*) AS n_events,
-                   CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_x100
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_sum_x100
             FROM s GROUP BY 1, 2
         """,
         "cmp_query_and": r"""

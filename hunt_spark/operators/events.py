@@ -45,7 +45,12 @@ def sessionize_batch(
             F.min("ts").alias("start_ts"),
             F.max("ts").alias("end_ts"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("value_sum_x100"),
+            # per-event integer cents, then an integer sum: exact and
+            # order-independent (double-sum order differs between Spark
+            # partial aggregation and other engines, flipping round() by
+            # ±1 on near-half totals)
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_sum_x100"),
         )
         .select(
             "user_id", "session_id", "start_ts", "end_ts",

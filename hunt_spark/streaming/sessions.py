@@ -18,6 +18,7 @@ stream length; the watermark bounds how long it is held.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,17 +30,25 @@ SESSION_SCHEMA = (
     "user_id long, start_ts timestamp, end_ts timestamp, "
     "n_events long, value_sum_x100 long"
 )
-_STATE_SCHEMA = "start long, end long, n long, v double"
+_STATE_SCHEMA = "start long, end long, n long, v long"
 
 
-def _close(start_us: int, end_us: int, n: int, v: float, user_id: int):
+def _cents(val: float) -> int:
+    """value -> integer cents, half away from zero — matches Spark
+    F.round (BigDecimal HALF_UP) and DuckDB round() on doubles, so the
+    streaming sum is bit-identical to the batch/oracle integer sum."""
+    x = float(val) * 100.0
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _close(start_us: int, end_us: int, n: int, v: int, user_id: int):
     return pd.DataFrame(
         {
             "user_id": pd.Series([user_id], dtype="int64"),
             "start_ts": pd.Series([pd.Timestamp(start_us, unit="us")]),
             "end_ts": pd.Series([pd.Timestamp(end_us, unit="us")]),
             "n_events": pd.Series([n], dtype="int64"),
-            "value_sum_x100": pd.Series([round(v * 100)], dtype="int64"),
+            "value_sum_x100": pd.Series([v], dtype="int64"),
         }
     )
 
@@ -70,18 +79,17 @@ def sessionize_stream(
         if state.exists:
             s, e, n, v = state.get
         else:
-            s = e = n = 0
-            v = 0.0
+            s = e = n = v = 0
         out = []
         for t, val in zip(ts_us.to_numpy(), vals):
             t = int(t)
             if n == 0:
-                s, e, n, v = t, t, 1, float(val)
+                s, e, n, v = t, t, 1, _cents(val)
             elif t - e > gap_us:
                 out.append(_close(s, e, n, v, user_id))
-                s, e, n, v = t, t, 1, float(val)
+                s, e, n, v = t, t, 1, _cents(val)
             else:
-                e, n, v = t, n + 1, float(v + val)
+                e, n, v = t, n + 1, v + _cents(val)
         state.update((s, e, n, v))
         # flush the open session once event time passes end + gap
         state.setTimeoutTimestamp((e + gap_us) // 1000 + 1)

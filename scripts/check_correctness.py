@@ -2,7 +2,8 @@
 Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 count, schema (sorted column names) and a value hash.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+(with query names given, only those gates run)
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         t0 = time.time()

@@ -77,7 +77,8 @@ def test_stream_sessions_match_batch_twin(spark, paths):
     file1_users = {1, 2}
     want_f1 = {w for w in want_all if w[0] in file1_users}
     assert got >= want_f1, (sorted(got), sorted(want_f1))
-    # values match the batch twin to the cent (summation order differs)
+    # values match the batch twin EXACTLY: both sum per-event integer
+    # cents (order-independent), so no float-summation tolerance needed
     got_v = {
         (r["user_id"], r["start_ts"]): r["value_sum_x100"]
         for r in spark.sql("SELECT * FROM sess_out").collect()
@@ -85,4 +86,4 @@ def test_stream_sessions_match_batch_twin(spark, paths):
     for r in sessionize_batch(all_events, gap_minutes=30).collect():
         key = (r["user_id"], r["start_ts"])
         if key in got_v:
-            assert abs(got_v[key] - r["value_sum_x100"]) <= 1
+            assert got_v[key] == r["value_sum_x100"]
