@@ -85,6 +85,27 @@ def _typed_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     return eng
 
 
+def _small_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
+    """Positions-free index: the documents text indexed as a
+    "text-small" context (ctTextSimple, Schema.hs:138-144) — same
+    tokenization as text, no positions stored."""
+    key = sf_dir + "#small"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        root = tempfile.mkdtemp(prefix="hunt_small_idx_")
+        eng = HuntEngine(
+            spark, root,
+            BuildConfig(
+                n_shards=4, salt_buckets=2,
+                context_types={"text": "text-small"},
+                build_blocks=False, build_term_dict=False,
+            ),
+        )
+        eng.build(_docs(spark, sf_dir), {"text": F.col("text")}, build_id=key)
+        _ENGINES[key] = eng
+    return eng
+
+
 def _pii_planted(docs: DataFrame) -> DataFrame:
     """Deterministically append PII-shaped footers (email+IP+SSN on
     doc_id%7==0, phone+card on doc_id%11==0) — the oracle twin builds
@@ -222,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_geo_rect": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("pos:[10.0-20.0 TO 49.9-99.9]"),
+        # positions-free "text-small" context (Schema.hs:138-144): term
+        # retrieval identical to text — only positions storage differs
+        "idx_text_small": lambda spark, sf_dir: _small_engine(
+            spark, sf_dir
+        ).select("'hash'"),
         "idx_completion": lambda spark, sf_dir: (
             # rank on the fixed-point score (limit after rounding) so the
             # top-10 cut is bit-identical to the oracle's
@@ -612,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "idx_term_lookup": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'spark'",
+        "idx_text_small": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'hash'",
         "idx_bool_and": (
             f"SELECT doc_id FROM {toks} WHERE term IN ('spark','hash') "
             "GROUP BY doc_id HAVING count(DISTINCT term) = 2"

@@ -62,6 +62,10 @@ class HuntEngine:
         # threads re-EXECUTES per collect(), so results stay fresh;
         # the cache is invalidated with the compiler on any mutation.
         self._plan_cache: dict[tuple, DataFrame] = {}
+        # total-hit-count cache (LimitedResult.count = size of the
+        # complete result, ApiDocument.hs:60,72-81) — one extra job per
+        # distinct query, amortized across repeats like the plan cache
+        self._count_cache: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     # build / load
@@ -84,6 +88,7 @@ class HuntEngine:
         self._doc_meta = None
         self._wand = None
         self._plan_cache.clear()
+        self._count_cache.clear()
 
     def _tombstones(self) -> DataFrame | None:
         try:
@@ -167,7 +172,7 @@ class HuntEngine:
             norms = {
                 cx: CONTEXT_NORMS_PY[t]
                 for cx, t in self.cfg.context_types.items()
-                if t != "text"
+                if t in CONTEXT_NORMS_PY
             }
             self._compiler = QueryCompiler(
                 self._postings(),
@@ -329,6 +334,9 @@ class HuntEngine:
             scored = c.eval(ast)
         scored = c.collapse_contexts(scored)
         extra = [f for f in (fields or []) if f not in ("doc_id", "url", "weight")]
+        # WeightAPI (API.hs:110-113): project the document weight into
+        # the result when requested
+        with_weight = "weight" in (fields or [])
         dm = self.doc_meta()
         # a field names either a doc_meta column or a description key
         # (Hunt mkSelect projects from the stored DocDesc,
@@ -346,12 +354,28 @@ class HuntEngine:
             "doc_id",
             "url",
             (F.col("score") * F.col("weight")).alias("score"),
+            *(["weight"] if with_weight else []),
             *extra,
         )
         res = res.orderBy(F.desc("score"), F.asc("url"))
         if offset:
             res = res.offset(offset)
         return res.limit(k)
+
+    def search_count(self, query) -> int:
+        """Total number of matching documents — the reference's
+        ``lrCount`` (size of the complete result BEFORE offset/limit,
+        ApiDocument.hs:60,72-81; Interpreter.hs execSearch). Cached per
+        query string; invalidated with the plan cache on mutation."""
+        key = query if isinstance(query, str) else None
+        if key is not None and key in self._count_cache:
+            return self._count_cache[key]
+        n = self.select(query).count()
+        if key is not None:
+            if len(self._count_cache) >= 256:
+                self._count_cache.pop(next(iter(self._count_cache)))
+            self._count_cache[key] = n
+        return n
 
     def select(self, query) -> DataFrame:
         """Unscored doc-id set (Hunt Select / DeleteByQuery evaluation,
@@ -583,7 +607,7 @@ class HuntEngine:
         through subsequent insert()/update() calls whose context_cols
         include the new context. Duplicate registration fails, mirroring
         the reference (InterpreterTests 'inserting a context twice')."""
-        if ctype not in ("text", "int", "date", "geo"):
+        if ctype not in ("text", "text-small", "int", "date", "geo"):
             raise ValueError(f"unknown context type {ctype!r}")
         sch = self._schema() or {}
         if name in sch:
@@ -678,6 +702,55 @@ class HuntEngine:
             )
         self._invalidate()
 
+    # ------------------------------------------------------------------
+    # StoreIx / LoadIx (BasicCommand.hs:30-79 LoadIx/StoreIx) and the
+    # status sub-commands (StatusCmd: gc | doctable | index | context)
+    # ------------------------------------------------------------------
+    def store_index(self, path: str) -> dict:
+        """StoreIx: export the index's CURRENT state to ``path`` as a
+        standalone catalog. Metadata-only — the new manifest pins the
+        current snapshot set of every table by reference (the Iceberg
+        snapshot-export shape: data files are immutable and shared, only
+        metadata is written), so this is O(tables) at any corpus size.
+        The exported catalog stays valid as long as the source catalog
+        does not expire_snapshots() past the pinned set — the same
+        lifetime contract as an Iceberg metadata-only clone."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        tables = sorted({e["table"] for e in self.catalog.snapshots()})
+        pinned = []
+        for t in tables:
+            snaps = self.catalog.snapshots(t)
+            paths = set(self.catalog.current_paths(t))
+            pinned.extend(
+                {k: v for k, v in e.items() if k != "seq"}
+                for e in snaps
+                if e["path"] in paths
+            )
+        manifest = _os.path.join(path, "_snapshots.jsonl")
+        with open(manifest, "w") as f:
+            for e in pinned:
+                f.write(_json.dumps(e) + "\n")
+        return {"path": path, "tables": tables, "snapshots": len(pinned)}
+
+    def load_index(self, path: str) -> None:
+        """LoadIx: open the catalog stored at ``path`` as the engine's
+        index (deserialize-the-index verb). All cached plans/stats are
+        dropped; the schema table of the loaded catalog re-seeds typed
+        contexts and weights on next compile."""
+        import os as _os
+
+        if not _os.path.exists(_os.path.join(path, "_snapshots.jsonl")):
+            raise FileNotFoundError(f"no index catalog at {path!r}")
+        self.catalog = IndexCatalog(path)
+        # typed-context config must derive from the LOADED catalog's
+        # schema table, not linger from the previous one
+        self.cfg.context_types = {}
+        self.cfg.context_weights = {}
+        self._invalidate()
+
     def status(self) -> dict:
         snaps = self.catalog.snapshots()
         return {
@@ -685,3 +758,78 @@ class HuntEngine:
             "snapshots": len(snaps),
             "latest": snaps[-1]["snapshot_id"] if snaps else None,
         }
+
+    def status_gc(self) -> dict:
+        """StatusGC (Interpreter.hs:714-720): runtime memory/GC stats.
+        The JVM driver heap stands in for the Haskell RTS GCStats."""
+        import gc as _gc
+
+        rt = self.spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        return {
+            "jvm_total_bytes": int(rt.totalMemory()),
+            "jvm_free_bytes": int(rt.freeMemory()),
+            "jvm_max_bytes": int(rt.maxMemory()),
+            "py_gc_counts": list(_gc.get_count()),
+        }
+
+    def status_doctable(self, limit: int = 1000) -> dict:
+        """StatusDocTable: document-table dump (capped — the reference's
+        dump is declared /experimental/ and a full dump of a web-scale
+        doc table through one driver is never the right call)."""
+        dm = self.doc_meta()
+        cols = [c for c in ("url", "weight", "description") if c in dm.columns]
+        rows = dm.select(*cols).orderBy("url").limit(limit).collect()
+        return {
+            "count": dm.count(),
+            "limit": limit,
+            "docs": [
+                {
+                    "uri": r["url"],
+                    "weight": float(r["weight"]) if "weight" in cols else 1.0,
+                    "description": dict(r["description"])
+                    if "description" in cols and r["description"]
+                    else {},
+                }
+                for r in rows
+            ],
+        }
+
+    def status_index(self) -> dict:
+        """StatusIndex: per-context index statistics (docs, avg doc
+        length, distinct terms, posting rows)."""
+        c = self.compiler()
+        per_term = (
+            c.postings.groupBy("context")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count("*").alias("n_postings"),
+            )
+            .collect()
+        )
+        agg = {r["context"]: r for r in per_term}
+        return {
+            cx: {
+                "n_docs": c.stats.n_docs.get(cx, 0),
+                "avg_dl": c.stats.avg_dl.get(cx, 0.0),
+                "n_terms": agg[cx]["n_terms"] if cx in agg else 0,
+                "n_postings": agg[cx]["n_postings"] if cx in agg else 0,
+            }
+            for cx in c.all_contexts
+        }
+
+    def status_context(self, name: str, limit: int = 1000) -> dict:
+        """StatusContext: per-term document frequencies of one context
+        (capped dump)."""
+        c = self.compiler()
+        if name not in c.all_contexts:
+            raise KeyError(f"unknown context {name!r}")
+        rows = (
+            c.postings.filter(F.col("context") == name)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy("term")
+            .limit(limit)
+            .collect()
+        )
+        return {"context": name, "limit": limit,
+                "terms": {r["term"]: r["df"] for r in rows}}

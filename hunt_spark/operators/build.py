@@ -88,6 +88,12 @@ class BuildConfig:
     # pack, zero-copy Binary/List outputs, no pandas object columns;
     # "python": the pandas per-group kernel (equivalence pinned by test)
     pack_strategy: str = "arrow"
+    # Pack-stage shuffle width. 0 = auto (2x cluster parallelism). The
+    # pack repartition key carries a term-level sub-bucket, so the
+    # stage's parallelism is NOT capped at n_contexts x n_shards — the
+    # round-2 layout packed a 32-core run in <= 8 tasks and anti-scaled
+    # (90.4 s @local[8] -> 105.3 s @local[32]).
+    pack_partitions: int = 0
 
 
 POSTINGS_SCHEMA = (
@@ -264,7 +270,9 @@ def postings_from_contexts(
 
     def prepared(name: str, col: Column) -> Column:
         ctype = cfg.context_types.get(name, "text")
-        if ctype == "text":
+        # "text-small" (Schema.hs:138-144 ctTextSimple) tokenizes like
+        # text; it differs only in not STORING positions (below)
+        if ctype in ("text", "text-small"):
             return col.cast(cast_to)
         # typed contexts: validate+normalize into a token stream whose
         # \w+ re-tokenization is the normalized terms (positions stay
@@ -299,6 +307,21 @@ def postings_from_contexts(
             p = _invert_arrow(tokenized)
         else:
             p = _invert_jvm(stacked)
+    small = sorted(
+        cx for cx, t in cfg.context_types.items() if t == "text-small"
+    )
+    if small:
+        # positions-free contexts (ctTextSimple, Schema.hs:138-144):
+        # null the widest posting column for them. With the (context,
+        # shard) partition layout a text-small context's parquet files
+        # carry only definition levels for it — the storage and shuffle
+        # width of positions is never paid. Phrase/NEAR/FOLLOW on such
+        # a context is rejected at compile time.
+        p = p.withColumn(
+            "positions",
+            F.when(F.col("context").isin(small), F.lit(None))
+            .otherwise(F.col("positions")),
+        )
     return p.withColumn("term_lc", F.lower("term")).withColumn(
         "shard", F.pmod(F.xxhash64("term_lc"), F.lit(cfg.n_shards)).cast("int")
     )
@@ -410,6 +433,20 @@ def build_blocks(
     u32 = F.shiftrightunsigned(F.col("doc_id"), 32).bitwiseXOR(F.lit(0x80000000))
     block_id = F.shiftright(u32 * F.col("n_blocks"), 32).cast("int")
 
+    # Pack-stage layout: (context, shard) alone caps parallelism at
+    # n_contexts x n_shards tasks however many cores exist. A term-level
+    # sub-bucket multiplies the key space while keeping every
+    # (context, term_lc, block_id) group in ONE partition (all rows of a
+    # term_lc hash to the same bucket), which is all the pack kernel's
+    # contiguity contract needs. ~4 keys per partition smooths the
+    # balls-in-bins imbalance of hashing few keys into as many tasks.
+    n_pack_parts = cfg.pack_partitions or max(
+        cfg.n_shards, 2 * spark.sparkContext.defaultParallelism
+    )
+    n_cx = max(1, len(n_docs_by_cx))
+    sub_buckets = max(1, (4 * n_pack_parts) // (n_cx * cfg.n_shards))
+    pack_bucket = F.pmod(F.xxhash64("term_lc"), F.lit(sub_buckets))
+
     # slim shuffle: ship only what the pack kernel needs — the
     # original-case term collapses to a mostly-null variant, df and
     # n_blocks are re-joined onto the (tiny) packed output instead of
@@ -425,7 +462,7 @@ def build_blocks(
             F.col("tf").cast("int").alias("tf"),
             F.col("dl").cast("int").alias("dl"),
         )
-        .repartition("context", "shard")
+        .repartition(n_pack_parts, "context", "shard", pack_bucket)
         .sortWithinPartitions("context", "term_lc", "block_id", "doc_id")
     )
 

@@ -15,8 +15,16 @@ cross-engine reproducibility.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this many scalar literals (n_cells x dim / n_planes x dim) the
+# expression-tree path is off the table: Catalyst would have to compile
+# millions of literal nodes (4k cells x 768 dims ~ 3M), so cell/
+# signature assignment switches to an Arrow-batched pandas UDF over a
+# broadcast numpy matrix — one BLAS matmul per batch.
+EXPR_LITERAL_LIMIT = 16_384
 
 
 def _dot(a, b):
@@ -138,6 +146,61 @@ def ivf_cell_col(vec, centroids: np.ndarray):
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
+def _bcast_matrix(df: DataFrame, m: np.ndarray):
+    """Ship the centroid/plane matrix to executors ONCE via a Spark
+    broadcast (capturing it raw would re-serialize it into every task)."""
+    return df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(m, dtype=np.float64)
+    )
+
+
+def ivf_cell_udf(embeddings: DataFrame, vec_col: str, centroids: np.ndarray):
+    """Scale path for cell assignment: one float64 BLAS matmul per Arrow
+    batch against the broadcast centroid matrix; argmax tie-break =
+    first (lowest) cell index, identical to the expression path's
+    array_position-of-max."""
+    bc = _bcast_matrix(embeddings, centroids)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series((m @ bc.value.T).argmax(axis=1) + 1, dtype="int32")
+
+    return cell_of(F.col(vec_col))
+
+
+def ivf_probe_cells_udf(
+    embeddings: DataFrame, vec_col: str, centroids: np.ndarray, n_probe: int
+):
+    """Top-``n_probe`` cells per probe on the scale path; stable argsort
+    on -dot keeps the (dot DESC, cell ASC) order of the expression path."""
+    bc = _bcast_matrix(embeddings, centroids)
+
+    @F.pandas_udf("array<int>")
+    def cells_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        order = np.argsort(-(m @ bc.value.T), axis=1, kind="stable")
+        return pd.Series(list((order[:, :n_probe] + 1).astype(np.int32)))
+
+    return cells_of(F.col(vec_col))
+
+
+def lsh_signature_udf(embeddings: DataFrame, vec_col: str, planes: np.ndarray):
+    """Scale path for LSH signatures: sign bits of one matmul packed to
+    a long (bit i set iff projection on plane i >= 0 — the same
+    convention as lsh_signature_col)."""
+    bc = _bcast_matrix(embeddings, planes)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ bc.value.T) >= 0
+        return pd.Series(bits @ weights, dtype="int64")
+
+    return sig_of(F.col(vec_col))
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -147,26 +210,38 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: the corpus is inverted into coarse cells
     (nearest deterministic centroid); each probe visits its ``n_probe``
     closest cells and reranks those cells' vectors by exact cosine —
     the classic IVF-Flat plan. At 10^9+ vectors the cell column is the
     partition key, so a query touches n_probe/n_cells of the data.
-    Same output schema as cosine_topk/lsh_ann_topk."""
+    Same output schema as cosine_topk/lsh_ann_topk.
+
+    ``strategy``: "expr" (literal centroid expressions, whole-stage
+    codegen — small configs), "udf" (broadcast matrix + Arrow-batched
+    matmul — production n_cells x dim), or "auto" (by literal count)."""
     cents = ivf_centroids(dim, n_cells)
-    tagged = embeddings.withColumn("cell", ivf_cell_col(F.col(vec_col), cents))
-    # probe side: top-n_probe cells by (dot DESC, cell ASC)
-    dots = _cell_dots(F.col(vec_col), cents)
-    cells_ranked = F.array_sort(
-        F.array(*[
-            F.struct((-d).alias("nd"), F.lit(i + 1).alias("i"))
-            for i, d in enumerate(dots)
-        ])
-    )
-    probe_cells = F.transform(
-        F.slice(cells_ranked, 1, n_probe), lambda s: s["i"]
-    )
+    if strategy == "auto":
+        strategy = "expr" if cents.size <= EXPR_LITERAL_LIMIT else "udf"
+    if strategy == "udf":
+        cell = ivf_cell_udf(embeddings, vec_col, cents)
+        probe_cells = ivf_probe_cells_udf(embeddings, vec_col, cents, n_probe)
+    else:
+        cell = ivf_cell_col(F.col(vec_col), cents)
+        # probe side: top-n_probe cells by (dot DESC, cell ASC)
+        dots = _cell_dots(F.col(vec_col), cents)
+        cells_ranked = F.array_sort(
+            F.array(*[
+                F.struct((-d).alias("nd"), F.lit(i + 1).alias("i"))
+                for i, d in enumerate(dots)
+            ])
+        )
+        probe_cells = F.transform(
+            F.slice(cells_ranked, 1, n_probe), lambda s: s["i"]
+        )
+    tagged = embeddings.withColumn("cell", cell)
     probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("emb_a"),
@@ -204,15 +279,21 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing the
     probe's LSH signature (plus 1-bit-flip neighbor buckets for
     recall), exact cosine on candidates. Same output schema as
-    cosine_topk."""
+    cosine_topk. ``strategy`` as in ivf_ann_topk."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
-    sig = lsh_signature_col(F.col(vec_col), planes)
+    if strategy == "auto":
+        strategy = "expr" if planes.size <= EXPR_LITERAL_LIMIT else "udf"
+    if strategy == "udf":
+        sig = lsh_signature_udf(embeddings, vec_col, planes)
+    else:
+        sig = lsh_signature_col(F.col(vec_col), planes)
     tagged = embeddings.withColumn("sig", sig)
     probes = tagged.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"),

@@ -405,6 +405,22 @@ class QueryCompiler:
             )
         return acc.select("doc_id", "score")
 
+    def _check_positional(self, cxs: tuple) -> None:
+        """Positional queries need stored positions. A "text-small"
+        context (ctTextSimple, Schema.hs:138-144 — DocIdSet tier, no
+        positions) cannot answer them: when EVERY target context is
+        positions-free the query is rejected; in a mixed fan-out the
+        text-small contexts simply contribute no phrase matches (their
+        null positions drop in the sequence fold)."""
+        small = [
+            cx for cx in cxs if self.context_types.get(cx) == "text-small"
+        ]
+        if small and len(small) == len(cxs):
+            raise ValueError(
+                f"positional (phrase/near/follow) query on positions-free "
+                f"text-small context(s) {small}"
+            )
+
     @staticmethod
     def _sequence(legs: list[DataFrame], op: str, dist: int) -> DataFrame:
         """Positional fold (Intermediate.hs:502-538 evalSequence/Follow/Near):
@@ -452,6 +468,7 @@ class QueryCompiler:
             words = q.phrase.split()
             if len(words) == 1:
                 return self._scan(words[0], q.op, False, cxs, raw)
+            self._check_positional(cxs)
             legs = [self._scan(w, q.op, False, cxs, True) for w in words]
             res = self._sequence(legs, "phrase", 1)
             return res if raw else res.select(*SCORED)
@@ -470,6 +487,7 @@ class QueryCompiler:
         if isinstance(q, QSeq):
             legs_q = self._flatten(q)
             if q.op in ("phrase", "follow", "near"):
+                self._check_positional(cxs)
                 legs = [self.eval(leg, cxs, raw=True) for leg in legs_q]
                 res = self._sequence(legs, q.op, q.dist)
                 return res if raw else res.select(*SCORED)

@@ -48,11 +48,12 @@ class HuntApiError(Exception):
         self.msg = msg
 
 
-def _limited(rows: list[dict], offset: int, mx: int) -> dict:
-    """mkLimitedResult (ApiDocument.hs:72-81): max < 0 = unlimited.
-    ``rows`` is the already-offset/limited page; count mirrors the
-    reference's ``length xs`` over the returned page."""
-    return {"result": rows, "offset": offset, "max": mx, "count": len(rows)}
+def _limited(rows: list[dict], offset: int, mx: int, count: int) -> dict:
+    """mkLimitedResult (ApiDocument.hs:60,72-81): max < 0 = unlimited.
+    ``rows`` is the already-offset/limited page; ``count`` is the size
+    of the COMPLETE result before offset/limit (the reference's
+    lrCount = length ds in execSearch) — what clients paginate by."""
+    return {"result": rows, "offset": offset, "max": mx, "count": count}
 
 
 def _ranked(row, with_weight: bool = False) -> dict:
@@ -68,8 +69,24 @@ class HuntServer:
     """Serve a HuntEngine over HTTP; start()/shutdown() for embedding,
     serve_forever() for a standalone process."""
 
-    def __init__(self, engine: HuntEngine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: HuntEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_k: int = 1000,
+        dump_limit: int = 1000,
+    ):
+        """``max_k`` is the serving hard cap on page size: an explicit
+        limit above it is rejected (413), and the reference's unlimited
+        searches (limit=-1, /weight) are clamped to it — a match-all
+        query must not pull the corpus through the driver.
+        LimitedResult.count still reports the TRUE total hit count, so
+        clients can paginate through everything. ``dump_limit`` caps the
+        /status/doctable and /status/context dumps the same way."""
         self.engine = engine
+        self.max_k = max_k
+        self.dump_limit = dump_limit
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -162,7 +179,26 @@ class HuntServer:
         if parts[0] == "completion" and len(parts) == 2:
             return self._completion(parts[1], qint("limit", 10))
         if parts[0] == "status":
-            return {"code": 0, "res": self.engine.status()}
+            # StatusAPI sub-routes (hunt-api/src/Hunt/API.hs:138-149)
+            if len(parts) == 1:
+                return {"code": 0, "res": self.engine.status()}
+            if parts[1] == "gc" and len(parts) == 2:
+                return {"code": 0, "res": self.engine.status_gc()}
+            if parts[1] == "doctable" and len(parts) == 2:
+                return {"code": 0,
+                        "res": self.engine.status_doctable(self.dump_limit)}
+            if parts[1] == "index" and len(parts) == 2:
+                return {"code": 0, "res": self.engine.status_index()}
+            if parts[1] == "context" and len(parts) == 3:
+                try:
+                    return {
+                        "code": 0,
+                        "res": self.engine.status_context(
+                            parts[2], self.dump_limit
+                        ),
+                    }
+                except KeyError as e:
+                    raise HuntApiError(404, str(e)) from e
         raise HuntApiError(404, f"no route for {u.path}")
 
     # -- mutations ------------------------------------------------------
@@ -223,6 +259,10 @@ class HuntServer:
             self.engine.insert(df, cx)
         except KeyError as e:
             raise HuntApiError(400, str(e)) from e
+        except ValueError as e:
+            # already-indexed / duplicate URI -> 409, the reference's
+            # checkApiDocExistence conflict status (Interpreter.hs)
+            raise HuntApiError(409, str(e)) from e
 
     def _update_docs(self, docs: list[dict]) -> None:
         df, cx = self._docs_frame(docs)
@@ -242,20 +282,41 @@ class HuntServer:
             raise HuntApiError(400, f"parse error: {e}") from e
 
     def _search(self, q: str, offset: int, mx: int, weight: bool) -> dict:
-        ast = self._parse(q)
+        if mx > self.max_k:
+            raise HuntApiError(
+                413, f"limit {mx} exceeds the serving cap {self.max_k}"
+            )
+        if offset < 0:
+            raise HuntApiError(400, "negative offset")
+        # unlimited (reference default max=-1, and /weight) is clamped
+        # to the cap; count below still reports the true total
+        k = mx if mx >= 0 else self.max_k
         fields = ["description"] if "description" in self.engine.doc_meta().columns else []
-        k = mx if mx >= 0 else (1 << 31)
-        rows = self.engine.search(ast, k=k, offset=offset, fields=fields).collect()
-        return _limited([_ranked(r, weight) for r in rows], offset, mx)
+        if weight:
+            fields.append("weight")
+        from hunt_spark.plans.parser import ParseError
+
+        try:
+            # pass the RAW query string: engine.search keys its serving
+            # plan cache on it (parse errors map to 400 here)
+            rows = self.engine.search(
+                q, k=k, offset=offset, fields=fields
+            ).collect()
+            total = self.engine.search_count(q)
+        except ParseError as e:
+            raise HuntApiError(400, f"parse error: {e}") from e
+        return _limited([_ranked(r, weight) for r in rows], offset, mx, total)
 
     def _select(self, q: str) -> dict:
         ast = self._parse(q)
         ids = self.engine.select(ast)
+        total = ids.count()
         dm = self.engine.doc_meta()
         rows = (
             ids.join(dm, "doc_id")
             .select("url", *(["description"] if "description" in dm.columns else []))
             .orderBy("url")
+            .limit(self.max_k)  # serving cap; count carries the total
             .collect()
         )
         out = [
@@ -269,7 +330,7 @@ class HuntServer:
             }
             for r in rows
         ]
-        return _limited(out, 0, -1)
+        return _limited(out, 0, -1, total)
 
     def _completion(self, q: str, mx: int) -> list:
         rows = self.engine.complete_query(q, k=mx).collect()
@@ -341,8 +402,40 @@ class HuntServer:
             except KeyError as e:
                 raise HuntApiError(400, str(e)) from e
             return {"code": 0, "res": None}
+        if c == "store":
+            # StoreIx (BasicCommand.hs:68-69; Command.hs:187,218)
+            return {"code": 0, "res": self.engine.store_index(cmd["path"])}
+        if c == "load":
+            # LoadIx (BasicCommand.hs:66-67; Command.hs:186,217)
+            try:
+                self.engine.load_index(cmd["path"])
+            except FileNotFoundError as e:
+                raise HuntApiError(404, str(e)) from e
+            return {"code": 0, "res": None}
         if c == "status":
-            return {"code": 0, "res": self.engine.status()}
+            # StatusCmd payload: "gc" | "doctable" | "index" |
+            # {"context": name} (BasicCommand.hs:93-103)
+            sub = cmd.get("status")
+            if sub is None:
+                return {"code": 0, "res": self.engine.status()}
+            if sub == "gc":
+                return {"code": 0, "res": self.engine.status_gc()}
+            if sub == "doctable":
+                return {"code": 0,
+                        "res": self.engine.status_doctable(self.dump_limit)}
+            if sub == "index":
+                return {"code": 0, "res": self.engine.status_index()}
+            if isinstance(sub, dict) and "context" in sub:
+                try:
+                    return {
+                        "code": 0,
+                        "res": self.engine.status_context(
+                            sub["context"], self.dump_limit
+                        ),
+                    }
+                except KeyError as e:
+                    raise HuntApiError(404, str(e)) from e
+            raise HuntApiError(400, f"unknown status command {sub!r}")
         if c == "noop":
             return {"code": 0, "res": None}
         raise HuntApiError(400, f"unknown command {c!r}")

@@ -194,5 +194,94 @@ def test_insert_unknown_context_400(server):
 
 
 def test_status(server):
-    _, body = _get(server, "/status/gc")
+    _, body = _get(server, "/status")
     assert body["code"] == 0 and "postings" in body["res"]["tables"]
+
+
+def test_status_subroutes(server):
+    # StatusAPI sub-routes (hunt-api/src/Hunt/API.hs:138-149)
+    _, gc = _get(server, "/status/gc")
+    assert gc["code"] == 0 and gc["res"]["jvm_total_bytes"] > 0
+    _, dt = _get(server, "/status/doctable")
+    assert dt["res"]["count"] > 0
+    assert {"uri", "weight", "description"} <= set(dt["res"]["docs"][0])
+    _, ix = _get(server, "/status/index")
+    assert "title" in ix["res"] and ix["res"]["title"]["n_docs"] > 0
+    _, cx = _get(server, "/status/context/title")
+    assert cx["res"]["context"] == "title" and cx["res"]["terms"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/status/context/nope")
+    assert ei.value.code == 404
+
+
+def test_count_is_total_before_pagination(server):
+    # lrCount = size of the COMPLETE result (ApiDocument.hs:60,72-81),
+    # not the page length — clients paginate by it
+    total = server.engine.select("!the").count()
+    _, page = _get(server, f"/search/{q('!the')}?offset=3&limit=3")
+    assert page["count"] == total and len(page["result"]) <= 3
+
+
+def test_unlimited_search_clamped_not_500(server):
+    # the reference default max=-1 (unlimited) must not overflow
+    # DataFrame.limit; page is clamped to the serving cap, count is true
+    st, res = _send(server, "POST", "/eval",
+                    {"cmd": "search", "query": "!the"})
+    assert st == 200
+    lr = res["res"]
+    assert lr["max"] == -1
+    assert len(lr["result"]) <= server.max_k
+    assert lr["count"] == server.engine.select("!the").count()
+
+
+def test_weight_route(server):
+    # WeightAPI (API.hs:110-113): scored result carrying doc weights
+    _, body = _get(server, f"/weight/{q('!the')}")
+    assert body["result"], "weight search returned no rows"
+    for r in body["result"]:
+        assert isinstance(r["weight"], float) and r["weight"] > 0
+
+
+def test_over_cap_limit_is_413(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, f"/search/{q('!the')}?limit={server.max_k + 1}")
+    assert ei.value.code == 413
+
+
+def test_serving_plan_cache_is_hit(server):
+    server.engine._plan_cache.clear()
+    _get(server, f"/search/{q('!plancache')}?limit=7")
+    assert any(
+        k[0] == "!plancache" for k in server.engine._plan_cache
+    ), "HTTP search path bypassed the serving plan cache"
+
+
+def test_insert_existing_uri_is_409(server):
+    doc = {"uri": "http://example.org/conflict",
+           "index": {"title": "conflictterm"}}
+    st, _ = _send(server, "POST", "/document", doc)
+    assert st == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(server, "POST", "/document", doc)
+    assert ei.value.code == 409
+    _send(server, "DELETE", "/document", {"uri": doc["uri"]})
+
+
+def test_store_and_load_commands(server, tmp_path):
+    # StoreIx/StoreIx wire verbs (Command.hs:186-187,217-218)
+    export = str(tmp_path / "exported_ix")
+    st, res = _send(server, "POST", "/eval",
+                    {"cmd": "store", "path": export})
+    assert st == 200 and res["res"]["tables"]
+    # searches still work after re-loading the exported catalog
+    _, before = _get(server, f"/search/{q('!the')}?limit=5")
+    st, _ = _send(server, "POST", "/eval", {"cmd": "load", "path": export})
+    assert st == 200
+    _, after = _get(server, f"/search/{q('!the')}?limit=5")
+    assert [r["uri"] for r in after["result"]] == [
+        r["uri"] for r in before["result"]
+    ]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(server, "POST", "/eval",
+              {"cmd": "load", "path": str(tmp_path / "nope")})
+    assert ei.value.code == 404

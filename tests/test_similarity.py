@@ -79,6 +79,40 @@ def test_lsh_ann_recall(emb, exact):
     assert _recall(got4, exact) >= _recall(got, exact)
 
 
+def test_udf_strategy_matches_expr(emb):
+    # the broadcast-matrix pandas-UDF scale path must reproduce the
+    # literal-expression path exactly at the small config
+    e = sorted(map(tuple, ivf_ann_topk(
+        emb, PROBES, k=K, dim=64, strategy="expr").collect()))
+    u = sorted(map(tuple, ivf_ann_topk(
+        emb, PROBES, k=K, dim=64, strategy="udf").collect()))
+    assert e == u
+    el = sorted(map(tuple, lsh_ann_topk(
+        emb, PROBES, k=K, dim=64, strategy="expr").collect()))
+    ul = sorted(map(tuple, lsh_ann_topk(
+        emb, PROBES, k=K, dim=64, strategy="udf").collect()))
+    assert el == ul
+
+
+def test_udf_strategy_smoke_at_production_config(spark):
+    # 256 cells x 256 dims = 65k literals — over EXPR_LITERAL_LIMIT, so
+    # auto must route to the UDF path and the plan must still execute
+    import numpy as np
+
+    from hunt_spark.operators.similarity import EXPR_LITERAL_LIMIT
+
+    assert 256 * 256 > EXPR_LITERAL_LIMIT
+    rng = np.random.Generator(np.random.Philox(key=[1, 2]))
+    rows = [(i, rng.normal(size=256).astype("float32").tolist())
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_ann_topk(
+        df, [0, 1], k=3, n_cells=256, n_probe=64, dim=256
+    ).collect()
+    assert {r["probe_id"] for r in got} == {0, 1}
+    assert all(r["rank"] <= 3 for r in got)
+
+
 def test_ivf_deterministic_across_partitioning(spark, emb, exact):
     a = sorted(map(tuple, ivf_ann_topk(emb, PROBES, k=K, dim=64).collect()))
     b = sorted(
