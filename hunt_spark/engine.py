@@ -458,8 +458,14 @@ class HuntEngine:
     # ------------------------------------------------------------------
     def _check_contexts(self, context_cols: dict[str, Column]) -> None:
         """Hunt rejects inserts into unregistered contexts
-        (InterpreterTests: 'insert into non-existent context fails')."""
+        (InterpreterTests: 'insert into non-existent context fails') —
+        including on a completely fresh index, whose context set is
+        empty (initHunt starts with zero contexts). Only a legacy
+        catalog that predates the schema table (has snapshots but no
+        schema) skips the check."""
         sch = self._sync_cfg_from_schema()
+        if sch is None and not self.catalog.snapshots():
+            sch = {}
         if sch is not None:
             unknown = sorted(set(context_cols) - set(sch))
             if unknown:

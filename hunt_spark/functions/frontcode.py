@@ -93,7 +93,17 @@ def build_term_dict(term_stats: DataFrame, n_shards: int) -> DataFrame:
         "term_lc",
         F.pmod(F.xxhash64("term_lc"), F.lit(n_shards)).cast("int").alias("shard"),
     )
-    part = ts.repartition("context", "shard").sortWithinPartitions(
+    # widen beyond n_contexts x n_shards tasks (the r2 layout packed a
+    # 32-core run in <= 8 tasks): a second-level hash bucket scatters
+    # each (context, shard)'s terms over B sorted runs. Every invariant
+    # the readers rely on survives — blocks stay ascending and prefix
+    # pruning is per-block (first_term bound) — only the front-coding
+    # ratio pays slightly (a 1/B sample of sorted terms still shares
+    # prefixes with its neighbors).
+    sc = term_stats.sparkSession.sparkContext
+    n_parts = max(n_shards, 2 * sc.defaultParallelism)
+    bucket = F.pmod(F.xxhash64("term_lc", F.lit(1)), F.lit(4 * n_parts))
+    part = ts.repartition(n_parts, "context", "shard", bucket).sortWithinPartitions(
         "context", "shard", "term_lc"
     )
 

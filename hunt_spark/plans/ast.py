@@ -66,6 +66,115 @@ class QRange:
     hi: str
 
 
+# ---- JSON wire codec (Grammar.hs:84-165 ToJSON/FromJSON Query) ----
+class QueryJsonError(ValueError):
+    """Malformed structured-query JSON (the reference's parser mzero)."""
+
+
+_OPS = ("case", "nocase", "fuzzy")
+
+
+def _binop_from_json(s) -> tuple[str, int]:
+    """BinOp wire strings (Grammar.hs:144-163): "and" | "or" |
+    "and not" | "phrase" | "follow D" | "near D"."""
+    words = str(s).split()
+    if words == ["and"]:
+        return "and", 1
+    if words == ["or"]:
+        return "or", 1
+    if words == ["and", "not"]:
+        return "andnot", 1
+    if words == ["phrase"]:
+        return "phrase", 1
+    if len(words) == 2 and words[0] in ("follow", "near"):
+        try:
+            return words[0], int(words[1])
+        except ValueError:
+            pass
+    raise QueryJsonError(f"unknown seq op {s!r}")
+
+
+def _binop_to_json(op: str, dist: int) -> str:
+    if op == "andnot":
+        return "and not"
+    if op in ("follow", "near"):
+        return f"{op} {dist}"
+    return op
+
+
+def query_from_json(j):
+    """Decode the reference's structured query JSON (the wire shape
+    clients POST in search commands — Grammar.hs:98-127 FromJSON,
+    incl. the binary and/or/"and not" forms and n-ary "seq")."""
+    if not isinstance(j, dict) or "type" not in j:
+        raise QueryJsonError("query object needs a 'type'")
+    t = j["type"]
+    try:
+        if t in ("word", "fullword", "phrase"):
+            op = j.get("op", "nocase")
+            if op not in _OPS:
+                raise QueryJsonError(f"unknown search op {op!r}")
+            if t == "word":
+                return QWord(j["word"], op)
+            if t == "fullword":
+                return QFullWord(j["word"], op)
+            return QPhrase(j["phrase"], op)
+        if t == "context":
+            cxs = j["contexts"]
+            if not isinstance(cxs, list) or not cxs:
+                raise QueryJsonError("contexts must be a non-empty list")
+            return QContext(tuple(cxs), query_from_json(j["query"]))
+        if t == "boost":
+            return QBoost(float(j["weight"]), query_from_json(j["query"]))
+        if t == "range":
+            return QRange(j["lower"], j["upper"])
+        if t in ("and", "or", "and not"):
+            op = "andnot" if t == "and not" else t
+            return QSeq(
+                op,
+                (query_from_json(j["query1"]), query_from_json(j["query2"])),
+            )
+        if t == "seq":
+            op, dist = _binop_from_json(j["op"])
+            legs = j["args"]
+            if not isinstance(legs, list) or len(legs) < 2:
+                raise QueryJsonError("seq needs >= 2 args")
+            return QSeq(op, tuple(query_from_json(x) for x in legs), dist)
+    except KeyError as e:
+        raise QueryJsonError(f"query {t!r} missing field {e}") from e
+    raise QueryJsonError(f"unknown query type {t!r}")
+
+
+def query_to_json(q) -> dict:
+    """Encode to the reference wire shape (Grammar.hs:84-96 ToJSON)."""
+    if isinstance(q, QWord):
+        return {"type": "word", "op": q.op, "word": q.word}
+    if isinstance(q, QFullWord):
+        return {"type": "fullword", "op": q.op, "word": q.word}
+    if isinstance(q, QPhrase):
+        return {"type": "phrase", "op": q.op, "phrase": q.phrase}
+    if isinstance(q, QContext):
+        return {
+            "type": "context",
+            "contexts": list(q.contexts),
+            "query": query_to_json(q.query),
+        }
+    if isinstance(q, QBoost):
+        return {
+            "type": "boost", "weight": q.weight,
+            "query": query_to_json(q.query),
+        }
+    if isinstance(q, QRange):
+        return {"type": "range", "lower": q.lo, "upper": q.hi}
+    if isinstance(q, QSeq):
+        return {
+            "type": "seq",
+            "op": _binop_to_json(q.op, q.dist),
+            "args": [query_to_json(x) for x in q.legs],
+        }
+    raise QueryJsonError(f"not a query node: {type(q).__name__}")
+
+
 # ---- builder API (Builder.hs analogue) ----
 def qand(*legs) -> QSeq:
     return QSeq("and", tuple(legs))

@@ -67,6 +67,11 @@ class IndexStats:
     context_weights: dict[str, float]
 
     def lit_map(self, d: dict[str, float]) -> Column:
+        if not d:
+            # empty index (e.g. every doc tombstoned): a bare
+            # create_map() is map<void,void> and map()[string_col]
+            # fails analysis — pin the key/value types instead
+            return F.create_map().cast("map<string,double>")
         pairs = []
         for k, v in d.items():
             pairs += [F.lit(k), F.lit(float(v))]

@@ -206,12 +206,21 @@ def _primary(lx):
         lx.next()
         w, op = _word_op(val)
         if not w:
-            # '!' / '~' directly before a quoted word or phrase
+            # '!' / '~' as a standalone token before the operand — the
+            # reference accepts whitespace here (" ! test" -> case word,
+            # " ~ test" -> fuzzy; QueryParserTests.hs caseTests/fuzzyTests)
             if op != "nocase" and lx.peek()[0] in ("PHRASE", "QWORD"):
                 kind2, val2 = lx.next()
                 return (
                     QPhrase(val2, op) if kind2 == "PHRASE" else QFullWord(val2, op)
                 )
+            if op != "nocase" and lx.peek()[0] == "WORD":
+                sub = _primary(lx)
+                if isinstance(sub, QWord):
+                    return QWord(sub.word, op)
+                if isinstance(sub, QPhrase):
+                    return QPhrase(sub.phrase, op)
+                raise ParseError(f"{'!' if op == 'case' else '~'} needs a word")
             raise ParseError("empty word")
         return QWord(w, op)
     raise ParseError(f"unexpected token {kind}({val!r})")

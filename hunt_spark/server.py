@@ -56,10 +56,15 @@ def _limited(rows: list[dict], offset: int, mx: int, count: int) -> dict:
     return {"result": rows, "offset": offset, "max": mx, "count": count}
 
 
-def _ranked(row, with_weight: bool = False) -> dict:
+def _ranked(row, with_weight: bool = False, fields: list | None = None) -> dict:
     d = {"uri": row["url"], "score": float(row["score"])}
     desc = row["description"] if "description" in row.__fields__ else None
-    d["description"] = dict(desc) if desc else {}
+    desc = dict(desc) if desc else {}
+    if fields is not None:
+        # Search's optional description projection (Command.hs:166-176
+        # icFields; Interpreter.hs mkSelect)
+        desc = {k: v for k, v in desc.items() if k in fields}
+    d["description"] = desc
     if with_weight:
         d["weight"] = float(row["weight"])
     return d
@@ -271,17 +276,27 @@ class HuntServer:
         except KeyError as e:
             raise HuntApiError(400, str(e)) from e
 
-    def _parse(self, q: str):
+    def _parse(self, q):
+        from hunt_spark.plans.ast import QueryJsonError, query_from_json
         from hunt_spark.plans.parser import ParseError, parse_query
 
         try:
+            # a JSON object is the reference's structured Query wire
+            # shape (Grammar.hs FromJSON); a string is query syntax
+            if isinstance(q, dict):
+                return query_from_json(q)
             return parse_query(q)
-        except ParseError as e:
+        except (ParseError, QueryJsonError) as e:
             # hunt-server replies 400 with the parser message on a bad
             # query (Server.hs javascript-error contract)
             raise HuntApiError(400, f"parse error: {e}") from e
 
-    def _search(self, q: str, offset: int, mx: int, weight: bool) -> dict:
+    def _search(
+        self, q, offset: int, mx: int, weight: bool,
+        sel_fields: list | None = None,
+    ) -> dict:
+        if isinstance(q, dict):  # structured query JSON -> AST
+            q = self._parse(q)
         if mx > self.max_k:
             raise HuntApiError(
                 413, f"limit {mx} exceeds the serving cap {self.max_k}"
@@ -305,7 +320,9 @@ class HuntServer:
             total = self.engine.search_count(q)
         except ParseError as e:
             raise HuntApiError(400, f"parse error: {e}") from e
-        return _limited([_ranked(r, weight) for r in rows], offset, mx, total)
+        return _limited(
+            [_ranked(r, weight, sel_fields) for r in rows], offset, mx, total
+        )
 
     def _select(self, q: str) -> dict:
         ast = self._parse(q)
@@ -367,6 +384,7 @@ class HuntServer:
                     int(cmd.get("offset", 0)),
                     int(cmd.get("max", -1)),
                     bool(cmd.get("weight", False)),
+                    cmd.get("fields"),
                 ),
             }
         if c == "completion":

@@ -267,6 +267,45 @@ def test_insert_existing_uri_is_409(server):
     _send(server, "DELETE", "/document", {"uri": doc["uri"]})
 
 
+def test_search_fields_projection(server):
+    # Search's optional icFields restricts the returned description
+    # (Command.hs:166-176); requires a doc with a 2-key description
+    doc = {"uri": "http://example.org/fields-doc",
+           "index": {"title": "fieldprojterm"},
+           "description": {"author": "bob", "stars": 4}}
+    _send(server, "POST", "/document", doc)
+    _, res = _send(server, "POST", "/eval",
+                   {"cmd": "search", "query": "fieldprojterm", "max": 5,
+                    "fields": ["author"]})
+    d = res["res"]["result"][0]["description"]
+    assert d == {"author": "bob"}
+    _send(server, "DELETE", "/document", {"uri": doc["uri"]})
+
+
+def test_structured_query_json(server):
+    # /eval search accepts the reference's Query JSON wire shape
+    # (Grammar.hs FromJSON) and agrees with the string syntax
+    _, by_string = _send(
+        server, "POST", "/eval",
+        {"cmd": "search", "query": "'the' OR 'and'", "max": 10},
+    )
+    _, by_json = _send(
+        server, "POST", "/eval",
+        {"cmd": "search", "max": 10, "query": {
+            "type": "or",
+            "query1": {"type": "fullword", "op": "nocase", "word": "the"},
+            "query2": {"type": "fullword", "op": "nocase", "word": "and"},
+        }},
+    )
+    assert [r["uri"] for r in by_json["res"]["result"]] == [
+        r["uri"] for r in by_string["res"]["result"]
+    ]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(server, "POST", "/eval",
+              {"cmd": "search", "query": {"type": "frob"}, "max": 5})
+    assert ei.value.code == 400
+
+
 def test_store_and_load_commands(server, tmp_path):
     # StoreIx/StoreIx wire verbs (Command.hs:186-187,217-218)
     export = str(tmp_path / "exported_ix")
