@@ -119,17 +119,26 @@ def int_norm_py(tok: str) -> str | None:
 _DATE_RES = [
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"), 6),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})"), 3),
+    (re.compile(r"(\d{4})-(\d{2})"), 2),
+    (re.compile(r"(\d{4})"), 1),
 ]
 
 
 def date_norm_py(tok: str) -> str | None:
     """ISO-8601 date[time] -> 14-digit yyyymmddhhmmss string
     (Normalize/Date.hs:56-63 digit packing); lexicographic ==
-    chronological."""
+    chronological. Partial dates are accepted like the reference's
+    isAnyDate/readAnyDateM (AnalyzerTests.hs prop_isAnyDate3: "2013" is
+    a valid date): gYear/gYearMonth expand to Jan-1 / day-1 midnight,
+    exactly the toUTC default the reference packs."""
     for rx, ngroups in _DATE_RES:
         m = rx.fullmatch(tok or "")
         if m:
             digits = "".join(m.groups())
+            if ngroups == 1:
+                digits += "0101"
+            elif ngroups == 2:
+                digits += "01"
             return digits.ljust(14, "0")
     return None
 
@@ -156,6 +165,21 @@ def geo_norm_py(tok: str) -> str | None:
         out.append("1" if ulat >> i & 1 else "0")
         out.append("1" if ulon >> i & 1 else "0")
     return "".join(out)
+
+
+def geo_denorm_py(z: str) -> str | None:
+    """Inverse of geo_norm_py: 64-char z-string -> "lat-lon" at the
+    index's 1e-7-degree resolution (Normalize/Position.hs denormalize;
+    round-trip pinned like AnalyzerTests.hs test_norm_pos5)."""
+    if not z or len(z) != 64 or set(z) - {"0", "1"}:
+        return None
+    ulat = ulon = 0
+    for i in range(32):
+        ulat = (ulat << 1) | (z[2 * i] == "1")
+        ulon = (ulon << 1) | (z[2 * i + 1] == "1")
+    lat = ulat / 1e7 - 90.0
+    lon = ulon / 1e7 - 180.0
+    return f"{lat:.7f}-{lon:.7f}"
 
 
 CONTEXT_NORMS_PY = {"int": int_norm_py, "date": date_norm_py, "geo": geo_norm_py}
@@ -201,11 +225,24 @@ def normalize_context_col(col: Column | str, ctype: str) -> Column:
             ),
         )
     elif ctype == "date":
+        # partial dates expand to Jan-1 / day-1 midnight like the
+        # python twin (reference readAnyDateM toUTC defaults)
         mapped = F.transform(
             toks,
             lambda t: F.when(
                 t.rlike(r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$"),
                 F.rpad(F.regexp_replace(t, r"[^0-9]", ""), 14, "0"),
+            )
+            .when(
+                t.rlike(r"^\d{4}-\d{2}$"),
+                F.rpad(
+                    F.concat(F.regexp_replace(t, r"[^0-9]", ""), F.lit("01")),
+                    14, "0",
+                ),
+            )
+            .when(
+                t.rlike(r"^\d{4}$"),
+                F.rpad(F.concat(t, F.lit("0101")), 14, "0"),
             ),
         )
     elif ctype == "geo":

@@ -194,7 +194,23 @@ def main() -> None:
     ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
-    if not args.skip_gen or not os.path.exists(args.corpus):
+    def corpus_rows(path: str) -> int:
+        import pyarrow.dataset as ds
+
+        try:
+            return ds.dataset(path, format="parquet").count_rows()
+        except Exception:  # noqa: BLE001 — missing/partial dir
+            return -1
+
+    # regen unless the existing corpus matches the requested size —
+    # a stale dir otherwise silently mislabels the whole ladder (a
+    # 200k corpus once sat at the default path while runs were
+    # recorded as 1M-doc ladders)
+    if (
+        not args.skip_gen
+        or not os.path.exists(args.corpus)
+        or corpus_rows(args.corpus) != args.n_docs
+    ):
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "make_corpus.py"),
              "--n", str(args.n_docs), "--out", args.corpus],
@@ -467,6 +483,31 @@ def main() -> None:
             "Frontends share nothing but the immutable catalog — replica "
             "count is the serving tier's scaling axis (hunt-server "
             "replicas over one store).",
+        ]
+    op_paired = os.path.join(os.path.dirname(args.out_md), "op_paired_runs.jsonl")
+    if os.path.exists(op_paired):
+        with open(op_paired) as f:
+            op_runs = [json.loads(x) for x in f if x.strip()]
+        lines += [
+            "",
+            "## Op-bench adjudications (paired-interleave protocol)",
+            "",
+            "`python scripts/bench_op_paired.py` — times each op "
+            "back-to-back per rep so all ops share a substrate window; "
+            "the cross-round verdict metric is the RATIO to a control op "
+            "(drift cancels). Adjudicates single-shot bench.py swings "
+            "(e.g. op_simhash_pairs 2.20s r1 -> 3.22s r2: warm paired "
+            "median 1.39s, simhash/minhash ratio 0.305 vs r1's 0.27 — "
+            "noise verdict, the vectorized kernel regressed nothing).",
+            "",
+            "| run | sf | medians (s) | simhash/minhash ratio |",
+            "|---|---|---|---|",
+            *[
+                f"| {i + 1} | {r['sf'].rsplit('sf', 1)[-1]} | "
+                + ", ".join(f"{k}={v}" for k, v in r["medians"].items())
+                + f" | {r['simhash_over_minhash_ratio_median']} |"
+                for i, r in enumerate(op_runs)
+            ],
         ]
     lines += [
         "",

@@ -40,12 +40,62 @@ def test_int_zerofill_order_isomorphic(a, b):
     assert len(na) == 21
 
 
+def test_int_zerofill_reference_bounds():
+    # AnalyzerTests.hs test_isInt_overflow/_upper/_lower: int64 bounds
+    assert int_norm_py("9223372036854775807") == "109223372036854775807"
+    assert int_norm_py("6443264") is not None
+    assert int_norm_py("10000000000000000000000000000000000000") is None
+    assert int_norm_py("-9223372036854775808") is not None
+    # NOTE deliberate divergence from NI.normalizeToText's negative form
+    # ("0" + abs, AnalyzerTests.hs test_normInt2/4): that encoding is
+    # not order-isomorphic for negatives (-1 -> "0...01" sorts BELOW
+    # -2 -> "0...02"); ours offsets by 10^20 so one lexicographic
+    # BETWEEN answers any range (pinned by
+    # test_int_zerofill_order_isomorphic)
+    assert int_norm_py("-9223372036854775808") < int_norm_py("-1")
+
+
 def test_date_pack():
     assert date_norm_py("2013-01-01") == "20130101000000"
     assert date_norm_py("2013-01-01T12:30:45") == "20130101123045"
     assert date_norm_py("2013-1-1") is None
     assert date_norm_py("hello") is None
     assert date_norm_py("2012-12-31") < date_norm_py("2013-01-01")
+
+
+def test_date_partial_reference_pins(spark):
+    # AnalyzerTests.hs prop_isAnyDate2/3: datetime and bare year are
+    # valid dates; partials expand to the reference's toUTC defaults
+    assert date_norm_py("2013") == "20130101000000"
+    assert date_norm_py("2013-06") == "20130601000000"
+    assert date_norm_py("2013") == date_norm_py("2013-01-01")
+    assert date_norm_py("201") is None
+    # JVM build-side twin agrees
+    from pyspark.sql import functions as F
+
+    from hunt_spark.functions.analysis import normalize_context_col
+
+    df = spark.createDataFrame(
+        [("2013 2013-06 2013-06-15 2013-06-15T10:20:30 junk",)], "d string"
+    )
+    got = df.select(normalize_context_col(F.col("d"), "date").alias("n")).first()["n"]
+    assert got.split() == [
+        "20130101000000", "20130601000000", "20130615000000", "20130615102030",
+    ]
+
+
+@given(
+    st.integers(-89 * 10**7, 89 * 10**7),
+    st.integers(-179 * 10**7, 179 * 10**7),
+)
+@settings(max_examples=200, deadline=None)
+def test_geo_norm_denorm_roundtrip(lat7, lon7):
+    # AnalyzerTests.hs test_norm_pos5 / prop_norm_pos3: denormalize .
+    # normalize is identity at the index's 1e-7-degree resolution
+    from hunt_spark.functions.analysis import geo_denorm_py
+
+    pos = f"{lat7 / 1e7:.7f}-{lon7 / 1e7:.7f}"
+    assert geo_denorm_py(geo_norm_py(pos)) == pos
 
 
 def test_geo_zorder_properties():
