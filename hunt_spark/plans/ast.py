@@ -175,6 +175,67 @@ def query_to_json(q) -> dict:
     raise QueryJsonError(f"not a query node: {type(q).__name__}")
 
 
+# ---- pretty printer (Grammar.hs:291-375 printQuery) ----
+_WORD_SPECIALS = set("\\\"')([]^:,~!+ \n\r\t")
+
+
+def _print_word(w: str) -> str:
+    if any(c in _WORD_SPECIALS for c in w):
+        return "".join("\\" + c if c in _WORD_SPECIALS else c for c in w)
+    return w
+
+
+def _print_quoted(w: str, quote: str) -> str:
+    body = "".join(
+        "\\" + c if c in (quote, "\\") else c for c in w
+    )
+    return f"{quote}{body}{quote}"
+
+
+_OP_STRS = {"and": " ", "or": " OR ", "andnot": " AND NOT ", "phrase": " ++ "}
+
+
+def _print_par(q) -> str:
+    """Parenthesize non-atomic sub-queries (printQPar)."""
+    if isinstance(q, (QWord, QFullWord, QPhrase, QRange, QContext)):
+        return print_query(q)
+    return f"({print_query(q)})"
+
+
+def print_query(q) -> str:
+    """Query AST -> Hunt query syntax such that
+    ``parse_query(print_query(q)) == q`` (up to same-op flattening) —
+    the reference's printQuery with our parser's quoting conventions
+    ('w' = full word, \"w\" = phrase; the reference prints both as
+    phrases and relies on print-normal-form identity instead)."""
+    mark = {"nocase": "", "case": "!", "fuzzy": "~"}
+    if isinstance(q, QWord):
+        return mark[q.op] + _print_word(q.word)
+    if isinstance(q, QFullWord):
+        return mark[q.op] + _print_quoted(q.word, "'")
+    if isinstance(q, QPhrase):
+        return mark[q.op] + _print_quoted(q.phrase, '"')
+    if isinstance(q, QContext):
+        return ",".join(q.contexts) + ":(" + print_query(q.query) + ")"
+    if isinstance(q, QBoost):
+        w = q.weight
+        num = str(int(w)) if float(w).is_integer() else repr(float(w))
+        return f"{_print_par(q.query)}^{num}"
+    if isinstance(q, QRange):
+        return f"[{q.lo} TO {q.hi}]"
+    if isinstance(q, QSeq):
+        if not q.legs:
+            return ""
+        if len(q.legs) == 1:
+            return print_query(q.legs[0])
+        if q.op in _OP_STRS:
+            op = _OP_STRS[q.op]
+        else:  # follow/near carry the distance (printOp)
+            op = f" {q.op.upper()} {q.dist} "
+        return op.join(_print_par(x) for x in q.legs)
+    raise TypeError(f"not a query node: {type(q).__name__}")
+
+
 # ---- builder API (Builder.hs analogue) ----
 def qand(*legs) -> QSeq:
     return QSeq("and", tuple(legs))

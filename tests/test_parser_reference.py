@@ -11,6 +11,8 @@ semantics are identical; the pins below encode the flattened form.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hunt_spark.plans.ast import (
     QBoost,
@@ -144,9 +146,71 @@ def test_reference_parser_case(text, want):
     assert _norm(got) == _norm(want), f"{text!r}: {got} != {want}"
 
 
+def test_print_parse_roundtrip_pins():
+    from hunt_spark.plans.ast import print_query
+
+    for _text, q in CASES:
+        assert _norm(parse_query(print_query(q))) == _norm(q), print_query(q)
+
+
+# prop_ParseAnd (QueryParserTests.hs:404): print-parse round-trip over
+# random query trees, with the reference generator's word alphabet
+_word = st.text(
+    alphabet="0123456789ABCabcXYZxyz", min_size=1, max_size=8
+)
+
+
+def _queries(depth):
+    leaf = st.one_of(
+        st.builds(QWord, _word, st.sampled_from(["nocase", "case", "fuzzy"])),
+        st.builds(QFullWord, _word, st.sampled_from(["nocase", "case"])),
+        st.builds(
+            QPhrase,
+            st.lists(_word, min_size=1, max_size=3).map(" ".join),
+            st.sampled_from(["nocase", "case"]),
+        ),
+        st.builds(QRange, _word, _word),
+    )
+    if depth == 0:
+        return leaf
+    sub = _queries(depth - 1)
+    return st.one_of(
+        leaf,
+        st.builds(
+            lambda op, legs: QSeq(op, tuple(legs)),
+            st.sampled_from(["and", "or", "andnot", "phrase"]),
+            st.lists(sub, min_size=2, max_size=3),
+        ),
+        st.builds(
+            lambda op, d, legs: QSeq(op, tuple(legs), d),
+            st.sampled_from(["near", "follow"]),
+            st.integers(1, 9),
+            st.lists(sub, min_size=2, max_size=3),
+        ),
+        st.builds(
+            lambda cxs, q: QContext(tuple(cxs), q),
+            st.lists(_word, min_size=1, max_size=2),
+            sub,
+        ),
+        st.builds(QBoost, st.integers(1, 9).map(float), sub),
+    )
+
+
+@given(_queries(2))
+@settings(max_examples=300, deadline=None)
+def test_print_parse_roundtrip_property(q):
+    from hunt_spark.plans.ast import print_query
+
+    assert _norm(parse_query(print_query(q))) == _norm(q)
+
+
 def _norm(q):
-    """Canonical form: flatten nested same-op and/or runs."""
-    if isinstance(q, QSeq) and q.op in ("and", "or"):
+    """Canonical form mirroring the compiler's evaluation-time
+    flattening (QueryCompiler._flatten): same-op and/or runs and
+    same-op-same-dist positional runs collapse to one n-ary node;
+    AND NOT left-nesting splices into the first position (the binary
+    fold evaluates both shapes identically)."""
+    if isinstance(q, QSeq) and q.op in ("and", "or", "phrase", "follow", "near"):
         legs = []
         for leg in q.legs:
             nl = _norm(leg)
@@ -154,6 +218,11 @@ def _norm(q):
                 legs.extend(nl.legs)
             else:
                 legs.append(nl)
+        return QSeq(q.op, tuple(legs), q.dist)
+    if isinstance(q, QSeq) and q.op == "andnot":
+        legs = [_norm(x) for x in q.legs]
+        if isinstance(legs[0], QSeq) and legs[0].op == "andnot":
+            legs = list(legs[0].legs) + legs[1:]
         return QSeq(q.op, tuple(legs), q.dist)
     if isinstance(q, QSeq):
         return QSeq(q.op, tuple(_norm(x) for x in q.legs), q.dist)
