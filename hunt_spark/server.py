@@ -194,6 +194,16 @@ class HuntServer:
                         "res": self.engine.status_doctable(self.dump_limit)}
             if parts[1] == "index" and len(parts) == 2:
                 return {"code": 0, "res": self.engine.status_index()}
+            if parts[1] == "schema" and len(parts) == 2:
+                # documented in API.hs:147 ("GET /status/schema")
+                sch = self.engine._schema() or {}  # noqa: SLF001
+                return {
+                    "code": 0,
+                    "res": {
+                        cx: {"type": t, "weight": w}
+                        for cx, (t, w) in sorted(sch.items())
+                    },
+                }
             if parts[1] == "context" and len(parts) == 3:
                 try:
                     return {

@@ -209,6 +209,8 @@ def test_status_subroutes(server):
     assert "title" in ix["res"] and ix["res"]["title"]["n_docs"] > 0
     _, cx = _get(server, "/status/context/title")
     assert cx["res"]["context"] == "title" and cx["res"]["terms"]
+    _, sch = _get(server, "/status/schema")
+    assert sch["res"]["title"]["type"] == "text"
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/status/context/nope")
     assert ei.value.code == 404
