@@ -346,9 +346,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         # --- event-stream sessionization (batch twin of the
-        # applyInPandasWithState streaming operator) ---
+        # applyInPandasWithState streaming operator). Gate surface is
+        # engine-neutral on purpose: session bounds go out as exact
+        # epoch-MICROsecond BIGINTs (unix_micros here, epoch_us in the
+        # oracle) — raw timestamp columns hash differently across
+        # engines under any serialization that is engine-specific
+        # (ISO T-form vs space-form, ns vs us precision), which kept
+        # this gate red through r3 while every value was identical. ---
         "evt_sessionize": lambda spark, sf_dir: evt.sessionize_batch(
             spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select(
+            "user_id",
+            "session_id",
+            F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+            "n_events",
+            "value_sum_x100",
         ),
         # --- query completion over an AND sequence (Hunt
         # processQueryScoredWords, Processor.hs:311-366) ---
@@ -911,7 +924,8 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             SELECT user_id, session_id,
-                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_sum_x100
