@@ -301,10 +301,23 @@ class HuntEngine:
                 return cached
         res = self._search_plan(query, k, offset, use_wand, fields)
         if key is not None:
-            if len(self._plan_cache) >= 256:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = res
+            self._cache_put(self._plan_cache, key, res)
         return res
+
+    @staticmethod
+    def _cache_put(cache: dict, key, value, cap: int = 256) -> None:
+        """Insert with FIFO eviction, tolerant of concurrent evictors:
+        the HTTP server calls search()/search_count() from multiple
+        threads, and two threads hitting the cap together could race
+        check-then-pop (one raising KeyError → a 500 on a valid query).
+        dict ops themselves are atomic under the GIL; only the compound
+        evict needs the tolerance."""
+        while len(cache) >= cap:
+            try:
+                cache.pop(next(iter(cache)))
+            except (KeyError, StopIteration):  # lost the race: other
+                break  # thread evicted (or cleared) — cap is satisfied
+        cache[key] = value
 
     def _search_plan(
         self, query, k: int, offset: int, use_wand, fields
@@ -372,9 +385,7 @@ class HuntEngine:
             return self._count_cache[key]
         n = self.select(query).count()
         if key is not None:
-            if len(self._count_cache) >= 256:
-                self._count_cache.pop(next(iter(self._count_cache)))
-            self._count_cache[key] = n
+            self._cache_put(self._count_cache, key, n)
         return n
 
     def select(self, query) -> DataFrame:
@@ -730,16 +741,35 @@ class HuntEngine:
         for t in tables:
             snaps = self.catalog.snapshots(t)
             paths = set(self.catalog.current_paths(t))
-            pinned.extend(
-                {k: v for k, v in e.items() if k != "seq"}
-                for e in snaps
-                if e["path"] in paths
-            )
+            pinned.extend(e for e in snaps if e["path"] in paths)
+        # seq is re-derived from line index on read, so the export MUST
+        # write entries in original commit order: grouping by table name
+        # would give blocks.seq < postings.seq on every load and the
+        # wand() staleness gate would silently disable block-max WAND on
+        # loaded indexes forever.
+        pinned.sort(key=lambda e: e["seq"])
+        pinned = [{k: v for k, v in e.items() if k != "seq"} for e in pinned]
         manifest = _os.path.join(path, "_snapshots.jsonl")
         with open(manifest, "w") as f:
             for e in pinned:
                 f.write(_json.dumps(e) + "\n")
+        # layout-critical build config rides along: the query path
+        # prunes exact-word lookups by pmod(xxhash64(term), n_shards),
+        # so opening this catalog under a different shard count would
+        # silently return wrong/empty results (same for the analysis
+        # chain driven by context_types). Persisted here, restored and
+        # enforced by load_index.
+        with open(_os.path.join(path, "_index_meta.json"), "w") as f:
+            _json.dump(self._layout_meta(), f)
         return {"path": path, "tables": tables, "snapshots": len(pinned)}
+
+    def _layout_meta(self) -> dict:
+        return {
+            "n_shards": self.cfg.n_shards,
+            "block_size": self.cfg.block_size,
+            "build_blocks": self.cfg.build_blocks,
+            "build_term_dict": self.cfg.build_term_dict,
+        }
 
     def load_index(self, path: str) -> None:
         """LoadIx: open the catalog stored at ``path`` as the engine's
@@ -748,14 +778,61 @@ class HuntEngine:
         contexts and weights on next compile."""
         import os as _os
 
+        import json as _json
+
         if not _os.path.exists(_os.path.join(path, "_snapshots.jsonl")):
             raise FileNotFoundError(f"no index catalog at {path!r}")
-        self.catalog = IndexCatalog(path)
+        cat = IndexCatalog(path)
+        meta_path = _os.path.join(path, "_index_meta.json")
+        if _os.path.exists(meta_path):
+            # store_index exports carry the layout config; restore it —
+            # querying under the wrong n_shards prunes exact lookups to
+            # the wrong shard and silently returns empty/wrong results.
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            for k in ("n_shards", "block_size", "build_blocks", "build_term_dict"):
+                if k in meta:
+                    setattr(self.cfg, k, meta[k])
+        else:
+            # no meta (catalog written by an older export or foreign
+            # tool): validate the configured shard count against the
+            # on-disk hive layout (postings is partitioned by
+            # context/shard, so shard values are directory names — no
+            # Spark job needed) and fail loudly on mismatch rather than
+            # serve silently-wrong pruned lookups.
+            observed = self._observed_shards(cat)
+            if observed and max(observed) >= self.cfg.n_shards:
+                raise ValueError(
+                    f"catalog at {path!r} has shard={max(observed)} on disk "
+                    f"but engine is configured with n_shards={self.cfg.n_shards}; "
+                    "export it with store_index (which records layout meta) "
+                    "or construct the engine with the matching BuildConfig"
+                )
+        self.catalog = cat
         # typed-context config must derive from the LOADED catalog's
         # schema table, not linger from the previous one
         self.cfg.context_types = {}
         self.cfg.context_weights = {}
         self._invalidate()
+
+    @staticmethod
+    def _observed_shards(cat: IndexCatalog) -> set[int]:
+        import os as _os
+
+        shards: set[int] = set()
+        try:
+            paths = cat.current_paths("postings")
+        except Exception:
+            return shards
+        for p in paths:
+            for _dirpath, dirs, _files in _os.walk(p):
+                for d in dirs:
+                    if d.startswith("shard="):
+                        try:
+                            shards.add(int(d.split("=", 1)[1]))
+                        except ValueError:
+                            pass
+        return shards
 
     def status(self) -> dict:
         snaps = self.catalog.snapshots()

@@ -123,14 +123,28 @@ _DATE_RES = [
     (re.compile(r"(\d{4})"), 1),
 ]
 
+# xsd gMonthDay / gMonth / gDay (Normalize/Date.hs rexDates:
+# "--MM-DD", "--MM", "---DD"); the reference's readMonthDayS/readMonthS/
+# readDayS all default the missing fields to YEAR 1 (fromGregorian 1 ...),
+# so "--12-25" packs as 0001-12-25 midnight. gDay first: "--\d" would
+# not match "---25" anyway (fullmatch), but the order mirrors
+# safeDateReaders' most-specific-first list.
+_DATE_PARTIAL_RES = [
+    (re.compile(r"--(\d{2})-(\d{2})"), lambda m: "0001" + m.group(1) + m.group(2)),
+    (re.compile(r"---(\d{2})"), lambda m: "000101" + m.group(1)),
+    (re.compile(r"--(\d{2})"), lambda m: "0001" + m.group(1) + "01"),
+]
+
 
 def date_norm_py(tok: str) -> str | None:
     """ISO-8601 date[time] -> 14-digit yyyymmddhhmmss string
     (Normalize/Date.hs:56-63 digit packing); lexicographic ==
     chronological. Partial dates are accepted like the reference's
     isAnyDate/readAnyDateM (AnalyzerTests.hs prop_isAnyDate3: "2013" is
-    a valid date): gYear/gYearMonth expand to Jan-1 / day-1 midnight,
-    exactly the toUTC default the reference packs."""
+    a valid date): gYear/gYearMonth expand to Jan-1 / day-1 midnight
+    (toUTC defaults), and the year-less xsd forms gMonthDay/gMonth/gDay
+    ("--12-25"/"--12"/"---25") default the missing fields to year 1 /
+    month 1 / day 1 exactly like readMonthDayS/readMonthS/readDayS."""
     for rx, ngroups in _DATE_RES:
         m = rx.fullmatch(tok or "")
         if m:
@@ -140,6 +154,10 @@ def date_norm_py(tok: str) -> str | None:
             elif ngroups == 2:
                 digits += "01"
             return digits.ljust(14, "0")
+    for rx, pack in _DATE_PARTIAL_RES:
+        m = rx.fullmatch(tok or "")
+        if m:
+            return pack(m).ljust(14, "0")
     return None
 
 
@@ -243,6 +261,36 @@ def normalize_context_col(col: Column | str, ctype: str) -> Column:
             .when(
                 t.rlike(r"^\d{4}$"),
                 F.rpad(F.concat(t, F.lit("0101")), 14, "0"),
+            )
+            # year-less xsd forms, year-1 defaults (readMonthDayS etc.)
+            .when(
+                t.rlike(r"^--\d{2}-\d{2}$"),
+                F.rpad(
+                    F.concat(
+                        F.lit("0001"), F.regexp_replace(t, r"[^0-9]", "")
+                    ),
+                    14, "0",
+                ),
+            )
+            .when(
+                t.rlike(r"^---\d{2}$"),
+                F.rpad(
+                    F.concat(
+                        F.lit("000101"), F.regexp_replace(t, r"[^0-9]", "")
+                    ),
+                    14, "0",
+                ),
+            )
+            .when(
+                t.rlike(r"^--\d{2}$"),
+                F.rpad(
+                    F.concat(
+                        F.lit("0001"),
+                        F.regexp_replace(t, r"[^0-9]", ""),
+                        F.lit("01"),
+                    ),
+                    14, "0",
+                ),
             ),
         )
     elif ctype == "geo":

@@ -111,7 +111,12 @@ def query_from_json(j):
     t = j["type"]
     try:
         if t in ("word", "fullword", "phrase"):
-            op = j.get("op", "nocase")
+            # the reference's FromJSON requires 'op' (Grammar.hs
+            # o .: "op" → mzero on absence); defaulting it would mask
+            # malformed client payloads, so reject like the reference
+            if "op" not in j:
+                raise QueryJsonError(f"{t} query object needs an 'op'")
+            op = j["op"]
             if op not in _OPS:
                 raise QueryJsonError(f"unknown search op {op!r}")
             if t == "word":

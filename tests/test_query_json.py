@@ -80,6 +80,10 @@ def test_matches_text_parser():
     "bad",
     [
         {"type": "word", "op": "shout", "word": "x"},
+        # missing 'op' is rejected like the reference FromJSON
+        # (Grammar.hs o .: "op" -> mzero), not defaulted
+        {"type": "word", "word": "x"},
+        {"type": "phrase", "phrase": "a b"},
         {"type": "frob"},
         {"no": "type"},
         {"type": "seq", "op": "near x", "args": []},

@@ -1,0 +1,84 @@
+"""StoreIx/LoadIx round-trip contracts (BasicCommand.hs:30-79):
+layout config survives the export, commit order survives the manifest
+rewrite (so the WAND staleness gate stays open on loaded indexes), and
+a foreign catalog with an incompatible shard layout fails loudly
+instead of serving silently-wrong shard-pruned lookups."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.engine import HuntEngine
+from hunt_spark.operators.build import BuildConfig
+from hunt_spark.sources.corpus import CORPUS_SCHEMA, corpus_pandas
+
+
+@pytest.fixture()
+def built(spark, tmp_path_factory):
+    e = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("sl_idx")),
+        BuildConfig(n_shards=4, salt_buckets=2, block_size=256),
+    )
+    docs = spark.createDataFrame(corpus_pandas(120), schema=CORPUS_SCHEMA)
+    e.build(docs, {"text": F.col("text")}, build_id="sl")
+    return e
+
+
+def test_export_preserves_commit_order_and_wand(built, spark, tmp_path_factory):
+    export = str(tmp_path_factory.mktemp("sl_export") / "ix")
+    built.store_index(export)
+    # the exported manifest must keep original seq order: grouped-by-
+    # table-name would put blocks before postings and permanently close
+    # the WAND gate on every load
+    with open(os.path.join(export, "_snapshots.jsonl")) as f:
+        tables = [json.loads(line)["table"] for line in f if line.strip()]
+    i_post = max(i for i, t in enumerate(tables) if t == "postings")
+    i_blk = max(i for i, t in enumerate(tables) if t == "blocks")
+    assert i_post < i_blk
+    built.load_index(export)
+    assert built.wand() is not None, built._wand_unavailable
+
+
+def test_load_restores_layout_config(built, spark, tmp_path_factory):
+    export = str(tmp_path_factory.mktemp("sl_export2") / "ix")
+    built.store_index(export)
+    before = [r["url"] for r in built.search("!brain", k=5).collect()]
+    # a fresh engine configured with a DIFFERENT shard count must pick
+    # up the exported layout (exact-word lookups prune by
+    # pmod(xxhash64(term), n_shards) — wrong n_shards = wrong shard =
+    # silently empty results)
+    other = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("sl_other")),
+        BuildConfig(n_shards=16, salt_buckets=2),
+    )
+    other.load_index(export)
+    assert other.cfg.n_shards == 4
+    got = [r["url"] for r in other.search("!brain", k=5).collect()]
+    assert got == before and got
+
+
+def test_load_without_meta_rejects_shard_mismatch(built, spark, tmp_path_factory):
+    export = str(tmp_path_factory.mktemp("sl_export3") / "ix")
+    built.store_index(export)
+    os.remove(os.path.join(export, "_index_meta.json"))
+    other = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("sl_other2")),
+        BuildConfig(n_shards=2, salt_buckets=2),
+    )
+    with pytest.raises(ValueError, match="n_shards"):
+        other.load_index(export)
+    # ...but a matching config loads fine without the meta file
+    ok = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("sl_other3")),
+        BuildConfig(n_shards=4, salt_buckets=2),
+    )
+    ok.load_index(export)
+    assert ok.search("!brain", k=1).collect()

@@ -84,6 +84,29 @@ def test_date_partial_reference_pins(spark):
     ]
 
 
+def test_date_yearless_xsd_forms(spark):
+    # Normalize/Date.hs rexDates gMonthDay/gMonth/gDay ("--12-25",
+    # "--12", "---25"); readMonthDayS/readMonthS/readDayS default the
+    # missing fields to year 1 / month 1 / day 1
+    assert date_norm_py("--12-25") == "00011225000000"
+    assert date_norm_py("--12") == "00011201000000"
+    assert date_norm_py("---25") == "00010125000000"
+    # malformed year-less tokens still rejected
+    assert date_norm_py("--1") is None
+    assert date_norm_py("----25") is None
+    assert date_norm_py("--12-25-01") is None
+    # JVM build-side twin agrees
+    from pyspark.sql import functions as F
+
+    from hunt_spark.functions.analysis import normalize_context_col
+
+    df = spark.createDataFrame([("--12-25 --12 ---25 --1 junk",)], "d string")
+    got = df.select(normalize_context_col(F.col("d"), "date").alias("n")).first()["n"]
+    assert got.split() == [
+        "00011225000000", "00011201000000", "00010125000000",
+    ]
+
+
 @given(
     st.integers(-89 * 10**7, 89 * 10**7),
     st.integers(-179 * 10**7, 179 * 10**7),
