@@ -34,6 +34,7 @@ def main() -> None:
 
     sys.path.insert(0, REPO)
     from hunt_spark.operators import textops
+    from hunt_spark.operators.similarity import cosine_topk
     from hunt_spark.session import get_spark
 
     spark = get_spark(
@@ -42,10 +43,15 @@ def main() -> None:
     )
     docs = spark.read.parquet(f"{args.sf}/documents.parquet").cache()
     docs.count()
+    emb = spark.read.parquet(f"{args.sf}/embeddings.parquet").cache()
+    emb.count()
 
     ops = {
-        # the op under adjudication (r1 2.20s -> r2 3.22s)
+        # ops under adjudication: simhash (r1 2.20s -> r2 3.22s,
+        # r3 1.47s), ngram (r2 7.07s -> r3 9.79s), ann_cosine
         "op_simhash_pairs": lambda: textops.simhash_pairs(docs, 3).count(),
+        "op_dedup_ngram": lambda: textops.ngram_jaccard_pairs(docs, 0.8).count(),
+        "op_ann_cosine": lambda: cosine_topk(emb, [0, 1, 2, 3, 4], 5).count(),
         # controls: same input frame, same era of code
         "op_dedup_minhash": lambda: textops.minhash_lsh_pairs(docs, 0.8).count(),
         "op_quality": lambda: textops.quality_stats(docs).count(),
@@ -65,15 +71,23 @@ def main() -> None:
         print(f"rep {r + 1}/{args.reps}: {rep}", flush=True)
 
     med = {k: statistics.median(r[k] for r in reps) for k in ops}
-    ratios = [
-        r["op_simhash_pairs"] / r["op_dedup_minhash"] for r in reps
-    ]
+    control = "op_dedup_minhash"
+    ratio_med = {
+        k: round(
+            statistics.median(r[k] / r[control] for r in reps), 3
+        )
+        for k in ops
+        if k != control
+    }
     out = {
         "sf": args.sf,
         "cpus": args.cpus,
         "reps": reps,
         "medians": med,
-        "simhash_over_minhash_ratio_median": round(statistics.median(ratios), 3),
+        "control": control,
+        "ratio_to_control_median": ratio_med,
+        # legacy field kept so earlier ledger lines stay comparable
+        "simhash_over_minhash_ratio_median": ratio_med["op_simhash_pairs"],
     }
     print(json.dumps(out))
     ledger = os.path.join(REPO, "BENCH", "op_paired_runs.jsonl")
