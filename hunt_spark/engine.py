@@ -16,6 +16,7 @@ from hunt_spark.operators.build import (
     context_stats,
     postings_from_contexts,
     term_stats,
+    term_totals,
 )
 from hunt_spark.plans.compiler import IndexStats, QueryCompiler, sim_col
 from hunt_spark.plans.parser import parse_query
@@ -53,6 +54,7 @@ class HuntEngine:
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
+        self._term_totals: DataFrame | None = None  # completion dictionary
         self._wand_unavailable: str | None = None
         # Serving-path plan cache: building a query's DataFrame costs
         # hundreds of GIL-held py4j round trips (~0.5-1 s), which caps a
@@ -87,6 +89,7 @@ class HuntEngine:
         self._compiler = None
         self._doc_meta = None
         self._wand = None
+        self._term_totals = None
         self._plan_cache.clear()
         self._count_cache.clear()
 
@@ -403,6 +406,40 @@ class HuntEngine:
         the filterByDocSet half of query completion."""
         c = self.compiler()
         cxs = tuple(contexts) if contexts else c.all_contexts
+        if doc_filter is None:
+            # plan-cached like search(): DataFrames are immutable plans,
+            # re-executed per collect, invalidated on mutation
+            key = ("completion", prefix, k, cxs)
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                return cached
+            res = self._completion_plan(prefix, k, cxs)
+            self._cache_put(self._plan_cache, key, res)
+            return res
+        return self._completion_plan(prefix, k, cxs, doc_filter)
+
+    def _completion_plan(
+        self, prefix: str, k: int, cxs, doc_filter: DataFrame | None = None
+    ) -> DataFrame:
+        c = self.compiler()
+        if doc_filter is None:
+            tt = self._fresh_term_totals()
+            if tt is not None:
+                # dictionary path: per-term score = sim * sum(tf) —
+                # identical to the postings aggregation because sim
+                # depends only on (prefix, term). Scans a vocab-sized
+                # sorted table (startswith prunes parquet row groups)
+                # instead of the postings fact table.
+                return (
+                    tt.filter(F.col("context").isin(list(cxs)))
+                    .filter(F.col("term_lc").startswith(prefix.lower()))
+                    .withColumn("sim", sim_col(prefix, F.col("term")))
+                    .filter(F.col("sim") > 0)
+                    .groupBy("term")
+                    .agg(F.sum(F.col("sim") * F.col("sum_tf")).alias("score"))
+                    .orderBy(F.desc("score"), F.asc("term"))
+                    .limit(k)
+                )
         p = c.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(F.col("term_lc").startswith(prefix.lower()))
         if doc_filter is not None:
@@ -415,6 +452,31 @@ class HuntEngine:
             .orderBy(F.desc("score"), F.asc("term"))
             .limit(k)
         )
+
+    def _fresh_term_totals(self) -> DataFrame | None:
+        """term_totals artifact iff it reflects the current doc set:
+        its commit must postdate the newest postings mutation AND the
+        newest tombstone append (manifest seq, like the WAND blocks
+        gate; _refresh_stats recommits it tombstone-filtered after
+        every mutation, so this is normally fresh). Stale or missing ->
+        None, caller falls back to the postings scan. Manifest-only —
+        no Spark job on the serving path; the frame is cached until the
+        next mutation so repeat completions skip the catalog re-read."""
+        if self._term_totals is not None:
+            return self._term_totals
+        snaps_t = self.catalog.snapshots("term_totals")
+        if not snaps_t:
+            return None
+        seq = snaps_t[-1]["seq"]
+        for dep in ("postings", "tombstones"):
+            dep_snaps = self.catalog.snapshots(dep)
+            if dep_snaps and dep_snaps[-1]["seq"] > seq:
+                return None
+        try:
+            self._term_totals = self.catalog.read(self.spark, "term_totals")
+        except FileNotFoundError:
+            return None
+        return self._term_totals
 
     def complete_query(self, query: str, k: int = 10) -> DataFrame:
         """Completion over a whole query being typed (Hunt
@@ -678,6 +740,13 @@ class HuntEngine:
             term_stats(p), "term_stats", "refresh/term_stats",
             sort_within_by=["context", "term_lc"],
         )
+        # p is tombstone-filtered, so the refreshed dictionary is exact
+        # for the live doc set — the completion fast path stays open
+        # across the mutation lifecycle without re-counting tombstones
+        self.catalog.commit(
+            term_totals(p), "term_totals", "refresh/term_totals",
+            sort_within_by=["context", "term_lc"],
+        )
         self._invalidate()
 
     def compact(self) -> None:
@@ -703,6 +772,10 @@ class HuntEngine:
         self.catalog.commit(context_stats(p2), "context_stats", "compact/context_stats")
         self.catalog.commit(
             term_stats(p2), "term_stats", "compact/term_stats",
+            sort_within_by=["context", "term_lc"],
+        )
+        self.catalog.commit(
+            term_totals(p2), "term_totals", "compact/term_totals",
             sort_within_by=["context", "term_lc"],
         )
         if self.cfg.build_blocks:

@@ -371,6 +371,19 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def term_totals(postings: DataFrame) -> DataFrame:
+    """(context, term, term_lc, sum_tf) — vocabulary-sized collection-
+    frequency table. Unfiltered completion score for a term is exactly
+    sim(prefix, term) * sum_tf (Intermediate.hs:479-484 sum over docs
+    of sim x tf, with sim constant per term), so prefix completion can
+    be answered from this dictionary instead of a postings scan — at
+    web scale that's vocab rows vs trillions. Map-side partial sums
+    absorb hot-term skew like term_stats."""
+    return postings.groupBy("context", "term", "term_lc").agg(
+        F.sum("tf").alias("sum_tf")
+    )
+
+
 def idf_col(df_col: Column, n_docs: Column) -> Column:
     """BM25 idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (SURVEY.md §2.6 R8)."""
     return F.log(F.lit(1.0) + (n_docs - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
@@ -766,6 +779,16 @@ def build_index(
         "term_stats",
         lambda key: catalog.commit(
             term_stats(postings_r), "term_stats", key,
+            partition_by=None, sort_within_by=["context", "term_lc"],
+        ),
+    )
+    # sorted by term_lc so the completion path's startswith predicate
+    # prunes via parquet row-group min/max — no hive partitioning (a
+    # prefix never maps to one hash shard)
+    stage(
+        "term_totals",
+        lambda key: catalog.commit(
+            term_totals(postings_r), "term_totals", key,
             partition_by=None, sort_within_by=["context", "term_lc"],
         ),
     )

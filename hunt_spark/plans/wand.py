@@ -347,7 +347,7 @@ class WandExecutor:
         tb = {key: _TermBlocks(rows) for key, rows in per_ct.items()}
 
         keep: dict[str, list[tuple[int, int]]] = {}
-        n_total = n_kept = 0
+        n_total = n_kept = n_seed_jobs = 0
         cxs = sorted({c for c, _ in tb})
         for cx in cxs:
             cx_terms = [t for c, t in tb if c == cx]
@@ -391,7 +391,15 @@ class WandExecutor:
                     covered += np_
                     if covered >= self.seed_factor * k:
                         break
-                if len(seed) < len(cand):  # pruning possible at all
+                # the seed θ-job only pays when pruning can remove real
+                # work: if the non-seed remainder is small relative to
+                # what the seed job itself must decode, skip the extra
+                # Spark job and scan everything in the main pass (the
+                # cold-query job-count fix — a seed covering ~all
+                # candidate postings used to cost one full extra job to
+                # prune almost nothing)
+                rest = sum(np_ for _, _, _, np_ in cand) - covered
+                if len(seed) < len(cand) and rest > covered:
                     seed_keep: dict[str, list[tuple[int, int]]] = {}
                     for t, iv in seed:
                         seed_keep.setdefault(t, []).append(iv)
@@ -404,6 +412,7 @@ class WandExecutor:
                         "or",
                         len(legs),
                     )
+                    n_seed_jobs += 1
                     top = part.orderBy(F.desc("score")).limit(k).collect()
                     if len(top) >= k:
                         theta = top[-1]["score"]  # partial => lower bound
@@ -422,6 +431,7 @@ class WandExecutor:
             "pruned_frac": round(1 - n_kept / n_total, 4) if n_total else 0.0,
             "granularity": gran,
             "stats_rows_collected": len(stats),
+            "seed_jobs": n_seed_jobs,
         }
         if not keep:
             return empty

@@ -179,3 +179,28 @@ def test_update_merges_description(spark, tmp_path_factory):
     by_url = {r["url"]: r for r in e.doc_meta().collect()}
     assert by_url["test://1"]["description"] == {"name": "Pinky"}
     assert by_url["test://1"]["weight"] == 1.0
+
+
+def test_completion_dictionary_fresh_across_mutations(spark, eng):
+    # the term_totals dictionary is recommitted tombstone-filtered by
+    # every mutation, so the completion fast path stays open AND exact
+    assert eng._fresh_term_totals() is not None
+    # delete every doc containing 'pinky'; the suggestion must vanish
+    urls = [
+        r["url"]
+        for r in eng.search("'pinky'", k=1000).select("url").collect()
+    ]
+    assert urls
+    eng.delete_docs(urls)
+    assert eng._fresh_term_totals() is not None  # refreshed, not stale
+    terms = {r["term"] for r in eng.completion("pink", k=50).collect()}
+    assert "pinky" not in terms
+    # insert a doc with a fresh unique term; it must appear
+    new = spark.createDataFrame(
+        [("cli://zz", "qqxterm qqxterm other words")],
+        "url string, text string",
+    )
+    eng.insert(new, {"text": F.col("text")})
+    assert eng._fresh_term_totals() is not None
+    terms = {r["term"] for r in eng.completion("qqx", k=10).collect()}
+    assert terms == {"qqxterm"}

@@ -59,6 +59,20 @@ def test_completion_rank_identity(engine, oracle):
         assert math.isclose(g[1], w[1], abs_tol=1e-6)
 
 
+def test_completion_dictionary_path_equals_postings_path(engine, monkeypatch):
+    # the no-doc-filter path serves from the vocab-sized term_totals
+    # dictionary; forcing the fallback must give identical suggestions
+    # AND scores (sim is constant per term, so sum(sim*tf) == sim*sum_tf)
+    assert engine._fresh_term_totals() is not None  # fast path active
+    fast = [(r["term"], r["score"]) for r in engine.completion("bra", k=20).collect()]
+    monkeypatch.setattr(engine, "_fresh_term_totals", lambda: None)
+    engine._plan_cache.clear()  # else the cached dictionary plan serves
+    slow = [(r["term"], r["score"]) for r in engine.completion("bra", k=20).collect()]
+    assert [f[0] for f in fast] == [s[0] for s in slow]
+    for f, s in zip(fast, slow):
+        assert math.isclose(f[1], s[1], abs_tol=1e-9)
+
+
 @pytest.mark.parametrize(
     "q",
     ["pinky bra", "'the' AND pinky AND bra", "title:bra", '"pinky and the bra"'],

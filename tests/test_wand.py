@@ -152,3 +152,24 @@ def test_wand_bounded_stats_collect_identical(wand_engine, q):
     assert st["granularity"] > 1, st
     # the bound: grouped rows <= cap + one partial group per (cx, term)
     assert st["stats_rows_collected"] <= 4 + len(legs), st
+
+
+def test_or_seed_job_folded_when_upside_small(wand_engine):
+    # the θ-seed is an extra Spark job that only pays if it can prune
+    # real work; when seed coverage (>= seed_factor*k postings) already
+    # spans most candidates, the executor must skip it and scan
+    # everything in the main pass — same results, one job fewer
+    eng = wand_engine
+    total = (
+        eng.compiler()
+        .postings.filter(F.col("term_lc").isin(["the", "brain"]))
+        .count()
+    )
+    k_big = max(2, int(total * 0.15))  # seed covers ~60% -> rest < covered
+    full = eng.search("'the' OR 'brain'", k=k_big, use_wand=False).collect()
+    pruned = eng.search("'the' OR 'brain'", k=k_big, use_wand=True).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    assert eng.wand().last_stats["seed_jobs"] == 0
+    # ...while a genuinely prunable query (tiny k, hot term) still seeds
+    eng.search("'the' OR 'brain'", k=1, use_wand=True).collect()
+    assert eng.wand().last_stats["seed_jobs"] == 1
