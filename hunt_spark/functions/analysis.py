@@ -27,6 +27,8 @@ import html as _html
 import re
 
 import pandas as pd
+from html.parser import HTMLParser as _HTMLParser
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -62,6 +64,120 @@ def _extract_one(raw: bytes | str | None) -> str | None:
 def extract_text_udf(html_col: pd.Series) -> pd.Series:
     """html (binary or string) -> whitespace-normalized text. Arrow-batched."""
     return html_col.map(_extract_one)
+
+
+# ---------------------------------------------------------------------------
+# selector-configurable extraction (html-hunter's per-context XPath
+# feeds, HtmlHunter.hs:288-340: each context may be fed by a selector;
+# predefined body / title / headlines, or "-c cx://tag" descendant and
+# "-c cx:/html/body"-style absolute paths). Tag-stack matching over the
+# stdlib HTMLParser — no DOM build, no external libs, streaming per doc.
+# ---------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_HEADLINE_TAGS = frozenset(f"h{i}" for i in range(1, 7))
+
+
+def compile_selector(sel: str):
+    """Selector -> matcher(open_tag_stack) -> bool. Supported forms
+    (the shapes html-hunter's help text documents): predefined names
+    ``body``/``title``/``headlines`` (defCx, HtmlHunter.hs:330-334 →
+    html/body, html/head/title, h1-h6 under body), ``//tag``
+    (descendant anywhere), and absolute ``/a/b/c`` paths."""
+    if sel == "headlines":
+        return lambda st: "body" in st and any(t in _HEADLINE_TAGS for t in st)
+    if sel == "body":
+        sel = "/html/body"
+    elif sel == "title":
+        sel = "/html/head/title"
+    if sel.startswith("//"):
+        name = sel[2:]
+        if not name or "/" in name:
+            raise ValueError(f"bad descendant selector {sel!r}")
+        return lambda st: name in st
+    if sel.startswith("/"):
+        parts = tuple(p for p in sel.split("/") if p)
+        if not parts:
+            raise ValueError(f"bad path selector {sel!r}")
+        return lambda st: tuple(st[: len(parts)]) == parts
+    raise ValueError(f"not a legal selector: {sel!r}")
+
+
+class _SelectorExtractor(_HTMLParser):
+    """Streams text nodes whose open-tag ancestor path satisfies the
+    matcher; script/style subtrees and comments never emit (comments
+    are dropped by the parser, script/style via the skip counter).
+    getAllText contract: parts separated by a space, then normalizeWS
+    (unwords . words — HtmlHunter.hs:364-372,405-410)."""
+
+    def __init__(self, matcher):
+        super().__init__(convert_charrefs=True)
+        self.matcher = matcher
+        self.stack: list[str] = []
+        self.skip = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
+        self.stack.append(tag)
+        if tag in ("script", "style"):
+            self.skip += 1
+
+    def handle_startendtag(self, tag, attrs):
+        pass  # self-closing: never on the ancestor path of text
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS or tag not in self.stack:
+            return  # tolerate stray close tags
+        while self.stack:
+            t = self.stack.pop()
+            if t in ("script", "style"):
+                self.skip -= 1
+            if t == tag:
+                break
+
+    def handle_data(self, data):
+        if not self.skip and data.strip() and self.matcher(self.stack):
+            self.parts.append(data)
+
+
+def extract_by_selector(raw: bytes | str | None, matcher) -> str | None:
+    if raw is None:
+        return None
+    s = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    p = _SelectorExtractor(matcher)
+    p.feed(s)
+    p.close()
+    return " ".join(" ".join(p.parts).split())
+
+
+def make_selector_extract_udf(selectors: dict[str, str]):
+    """(context, html) -> extracted text, per-context selector.
+    Contexts absent from ``selectors`` fall back to the whole-document
+    extraction (byte-identity contract unchanged for them)."""
+    compiled = {cx: compile_selector(s) for cx, s in selectors.items()}
+
+    @pandas_udf(StringType())
+    def go(context_col: pd.Series, html_col: pd.Series) -> pd.Series:
+        def one(cx, raw):
+            m = compiled.get(cx)
+            if m is None:
+                return _extract_one(raw)
+            return extract_by_selector(raw, m)
+
+        return pd.Series(
+            [one(cx, raw) for cx, raw in zip(context_col, html_col)],
+            dtype="object",
+        )
+
+    return go
 
 
 def tokenize_col(text: Column | str) -> Column:

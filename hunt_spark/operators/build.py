@@ -68,6 +68,12 @@ class BuildConfig:
     # context columns are raw html binary; extraction runs fused inside
     # the tokenize kernel (one Arrow pass, not two python stages)
     extract_html: bool = False
+    # per-context extraction selectors (html-hunter "-c cx:xpath",
+    # HtmlHunter.hs:107-142,288-340): context name -> "title" |
+    # "headlines" | "body" | "//tag" | "/a/b/c". Contexts not listed
+    # keep the whole-document extraction. Only meaningful with
+    # extract_html=True.
+    context_selectors: dict[str, str] = field(default_factory=dict)
     # Inversion strategy — all measured at 500k docs / 43M postings:
     # "arrow" (default): tokenize JVM-side (whole-stage-codegen
     #   regexp_extract_all), ship list<string> token arrays through
@@ -288,10 +294,21 @@ def postings_from_contexts(
     stacked = per_cx[0]
     for d in per_cx[1:]:
         stacked = stacked.unionByName(d)
-    if strategy == "python":
-        p = stacked.mapInPandas(_make_invert(cfg.extract_html), schema=POSTINGS_SCHEMA)
+    if cfg.extract_html and cfg.context_selectors:
+        # per-context selector feeds (html-hunter "-c cx:xpath"): one
+        # Arrow pass routing each row's context to its selector; the
+        # stacked frame then carries extracted text for every strategy
+        from hunt_spark.functions.analysis import make_selector_extract_udf
+
+        udf = make_selector_extract_udf(cfg.context_selectors)
+        stacked = stacked.withColumn("text", udf("context", "text"))
+        extract_in_kernel = False
     else:
-        if cfg.extract_html:
+        extract_in_kernel = cfg.extract_html
+    if strategy == "python":
+        p = stacked.mapInPandas(_make_invert(extract_in_kernel), schema=POSTINGS_SCHEMA)
+    else:
+        if extract_in_kernel:
             # byte-identity contract: extraction stays the vectorized
             # python UDF; tokenization and inversion move off python
             stacked = stacked.withColumn("text", extract_text_udf("text"))
@@ -352,12 +369,17 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
 def context_stats(postings: DataFrame) -> DataFrame:
     """(context, n_docs, avg_dl) — one row per context.
 
-    Derived from distinct (doc_id, dl) pairs per context; dl is constant
-    per (doc, context) so max==the value.
-    """
-    per_doc = postings.groupBy("context", "doc_id").agg(F.max("dl").alias("dl"))
-    return per_doc.groupBy("context").agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    Single-shuffle form: dl is by construction the sum of tf over the
+    doc's terms in that context (both count the surviving tokens), so
+    sum_docs(dl) == sum(tf) over ALL postings — no per-doc grouping
+    needed, and avg_dl = sum(tf)/countDistinct(doc_id) is exactly equal
+    to the former avg-over-distinct-docs form (integer sums, same final
+    double division; equality pinned by test). The old two-level
+    groupBy(context, doc_id) -> groupBy(context) shuffled a doc-count-
+    sized intermediate; this is one partial-aggregated pass."""
+    return postings.groupBy("context").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avg_dl"),
     )
 
 
@@ -758,7 +780,17 @@ def build_index(
     )
 
     postings = postings_from_contexts(docs, context_cols, cfg)
-    salt = F.pmod(F.col("doc_id"), F.lit(cfg.salt_buckets))
+    # writer-task spread: the salt must give the shuffle MORE distinct
+    # keys than reduce partitions, or hash collisions starve tasks (the
+    # r3 blocks-stage lesson). salt_buckets alone gives n_contexts x
+    # n_shards x salt_buckets keys — widen with the cluster so ~32 keys
+    # land per reduce partition regardless of core count. doc-hash
+    # salting keeps any one (context, shard) spread over many writers
+    # (hot-term skew) while partitionBy still lays files out by
+    # (context, shard).
+    sc = spark.sparkContext
+    salt_w = max(cfg.salt_buckets, 2 * sc.defaultParallelism)
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_w))
     laid_out = postings.repartition(F.col("context"), F.col("shard"), salt)
     stage(
         "postings",

@@ -64,6 +64,16 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("hunt_spark_build")
         .config("spark.sql.shuffle.partitions", str(2 * args.cores))
+        # the scan stage must out-number the cores too: the bench corpus
+        # is ~190 MB in 6 MB files, and the default 128 MB split target
+        # packs it into ~cores splits at local[8] — the tokenize+invert
+        # map stage then has ZERO task slack and one straggler idles an
+        # eighth of the box (measured: postings stage 2.76x of ideal 4x
+        # on the 2->8 ladder). 4 MB splits give one task per file, ~4
+        # waves at 8 cores. On a real cluster reading 100 TB this knob
+        # is moot — splits vastly outnumber slots.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -213,3 +213,26 @@ def test_pack_strategies_identical(spark):
         )
 
     assert rows("python") == rows("arrow")
+
+
+def test_context_stats_single_shuffle_equals_per_doc_form(engine):
+    # the one-pass form (sum(tf)/countDistinct) must equal the former
+    # two-level groupBy exactly: dl == sum(tf) per (context, doc) by
+    # construction, so the sums are the same integers
+    from pyspark.sql import functions as F
+
+    from hunt_spark.operators.build import context_stats
+
+    p = engine.compiler().postings
+    got = {
+        r["context"]: (r["n_docs"], r["avg_dl"])
+        for r in context_stats(p).collect()
+    }
+    per_doc = p.groupBy("context", "doc_id").agg(F.max("dl").alias("dl"))
+    want = {
+        r["context"]: (r["n_docs"], r["avg_dl"])
+        for r in per_doc.groupBy("context")
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl"))
+        .collect()
+    }
+    assert got == want
