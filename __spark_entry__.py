@@ -106,6 +106,46 @@ def _small_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     return eng
 
 
+def _selector_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
+    """Per-context selector extraction (html-hunter -c cx:xpath,
+    HtmlHunter.hs:107-142): deterministic html is assembled from the
+    documents columns (title <- source, body <- text; text is verified
+    markup-free in this corpus), and each context indexes ONLY its
+    selector's part. The gate query mixes a title token with a hot
+    body token under the title context — if selector routing broke
+    (whole document into every context), the body token would match
+    and the doc set would explode, so the oracle (source equality)
+    would mismatch."""
+    key = sf_dir + "#selector"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+        root = tempfile.mkdtemp(prefix="hunt_sel_idx_")
+        eng = HuntEngine(
+            spark, root,
+            BuildConfig(
+                n_shards=4, salt_buckets=2,
+                extract_html=True,
+                context_selectors={"title": "title", "body": "body"},
+                build_blocks=False, build_term_dict=False,
+            ),
+        )
+        eng.build(
+            docs,
+            {"title": F.col("html"), "body": F.col("html")},
+            build_id=key,
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
 def _pii_planted(docs: DataFrame) -> DataFrame:
     """Deterministically append PII-shaped footers (email+IP+SSN on
     doc_id%7==0, phone+card on doc_id%11==0) — the oracle twin builds
@@ -248,6 +288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_text_small": lambda spark, sf_dir: _small_engine(
             spark, sf_dir
         ).select("'hash'"),
+        # per-context selector extraction: title is fed by the <title>
+        # selector only, so the hot body token 'spark' must contribute
+        # NOTHING under the title context — whole-document extraction
+        # would match nearly every doc and mismatch the oracle
+        "idx_selector_title": lambda spark, sf_dir: _selector_engine(
+            spark, sf_dir
+        ).select("title:src3 OR title:spark"),
         "idx_completion": lambda spark, sf_dir: (
             # rank on the fixed-point score (limit after rounding) so the
             # top-10 cut is bit-identical to the oracle's
@@ -652,6 +699,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "idx_term_lookup": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'spark'",
         "idx_text_small": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'hash'",
+        # title context = tokens of the source column only (the html's
+        # <title> part); 'spark' lives only in body text, so the OR leg
+        # adds nothing — implementation-independent semantics
+        "idx_selector_title": (
+            "SELECT doc_id FROM documents WHERE source = 'src3'"
+        ),
         "idx_bool_and": (
             f"SELECT doc_id FROM {toks} WHERE term IN ('spark','hash') "
             "GROUP BY doc_id HAVING count(DISTINCT term) = 2"

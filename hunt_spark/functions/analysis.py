@@ -260,7 +260,10 @@ def date_norm_py(tok: str) -> str | None:
     a valid date): gYear/gYearMonth expand to Jan-1 / day-1 midnight
     (toUTC defaults), and the year-less xsd forms gMonthDay/gMonth/gDay
     ("--12-25"/"--12"/"---25") default the missing fields to year 1 /
-    month 1 / day 1 exactly like readMonthDayS/readMonthS/readDayS."""
+    month 1 / day 1 exactly like readMonthDayS/readMonthS/readDayS.
+    Known narrowing vs the reference: the optional timezone suffixes
+    ("Z", "+hh:mm") its regexes accept are rejected here rather than
+    shifted to UTC."""
     for rx, ngroups in _DATE_RES:
         m = rx.fullmatch(tok or "")
         if m:

@@ -439,6 +439,10 @@ class HuntServer:
                 self.engine.load_index(cmd["path"])
             except FileNotFoundError as e:
                 raise HuntApiError(404, str(e)) from e
+            except ValueError as e:
+                # shard-layout mismatch on a meta-less catalog: loading
+                # it would serve silently-wrong pruned lookups
+                raise HuntApiError(409, str(e)) from e
             return {"code": 0, "res": None}
         if c == "status":
             # StatusCmd payload: "gc" | "doctable" | "index" |

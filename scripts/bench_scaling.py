@@ -493,14 +493,21 @@ def main() -> None:
             "SPLIT this box's cores, where a real deployment gives each "
             "replica its own:",
             "",
-            "| frontends | cores each | combined QPS | per-frontend QPS |",
-            "|---|---|---|---|",
+            "| frontends | cores each | combined QPS | per-frontend QPS | p50 s |",
+            "|---|---|---|---|---|",
             *[
                 f"| {r['frontends']} | {r['cores_each']} | "
                 f"{r['combined_qps']} | "
-                + ", ".join(str(q) for q in r["per_frontend_qps"]) + " |"
+                + ", ".join(str(q) for q in r["per_frontend_qps"])
+                + f" | {r.get('p50_s', '-')} |"
                 for r in fl.get("runs", [])
             ],
+            "",
+            "(r4: the single frontend doubled vs r3 — 2.51 → 5.06 QPS — "
+            "from the completion-dictionary and plan/count-cache work, "
+            "which shrinks the replica advantage on this core-constant "
+            "box; r2's 3.18/4.21/6.78 ladder remains the cleanest "
+            "monotonic-replica demonstration on a slower frontend.)",
             "",
             "Frontends share nothing but the immutable catalog — replica "
             "count is the serving tier's scaling axis (hunt-server "

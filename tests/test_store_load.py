@@ -82,3 +82,35 @@ def test_load_without_meta_rejects_shard_mismatch(built, spark, tmp_path_factory
     )
     ok.load_index(export)
     assert ok.search("!brain", k=1).collect()
+
+
+def test_server_load_mismatch_is_409(built, spark, tmp_path_factory):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from hunt_spark.server import HuntServer
+
+    export = str(tmp_path_factory.mktemp("sl_export4") / "ix")
+    built.store_index(export)
+    os.remove(os.path.join(export, "_index_meta.json"))
+    other = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("sl_srv")),
+        BuildConfig(n_shards=2, salt_buckets=2),
+    )
+    docs = spark.createDataFrame(corpus_pandas(10), schema=CORPUS_SCHEMA)
+    other.build(docs, {"text": F.col("text")}, build_id="srv")
+    srv = HuntServer(other).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/eval",
+            data=_json.dumps({"cmd": "load", "path": export}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 409
+    finally:
+        srv.shutdown()
