@@ -7,6 +7,9 @@ LoadIx/StoreIx/Status).
 
 from __future__ import annotations
 
+import functools
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,6 +25,18 @@ from hunt_spark.plans.compiler import IndexStats, QueryCompiler, sim_col
 from hunt_spark.plans.parser import parse_query
 from hunt_spark.plans.wand import WandExecutor, compile_wand
 from hunt_spark.sources.catalog import IndexCatalog
+
+
+def _mutating(fn):
+    """Serialize mutating verbs on the engine's mutation lock (RLock:
+    update/compact call other mutating verbs internally)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutate_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class HuntEngine:
@@ -51,6 +66,13 @@ class HuntEngine:
         # Fuzzy.hs tables were written for: word first, then fuzzed
         # variants in ascending-fuzziness order until one matches.
         self.fuzzy_config = fuzzy_config
+        # mutation serialization (the reference interpreter's MVar on
+        # the ContextIndex): the HTTP server handles requests on many
+        # threads, and concurrent mutating verbs would race the
+        # duplicate-URI validation (both see absent -> both insert) and
+        # interleave manifest appends. Queries stay lock-free —
+        # snapshot reads are consistent under append-only commits.
+        self._mutate_lock = threading.RLock()
         self._compiler: QueryCompiler | None = None
         self._doc_meta: DataFrame | None = None
         self._wand: WandExecutor | None = None
@@ -544,6 +566,7 @@ class HuntEngine:
             if unknown:
                 raise KeyError(f"unknown contexts: {unknown}")
 
+    @_mutating
     def insert(
         self,
         docs: DataFrame,
@@ -609,6 +632,7 @@ class HuntEngine:
         else:
             self._invalidate()
 
+    @_mutating
     def update(self, docs: DataFrame, context_cols: dict[str, Column]) -> None:
         """Hunt Update (Interpreter.hs:488-504 -> ContextIndex.hs:326-354
         modifyWithDescription): re-index the given documents and MERGE
@@ -678,6 +702,7 @@ class HuntEngine:
         self.catalog.commit(m, "doc_meta", "update/doc_meta")
         self._refresh_stats()
 
+    @_mutating
     def insert_context(
         self, name: str, ctype: str = "text", weight: float = 1.0
     ) -> None:
@@ -698,6 +723,7 @@ class HuntEngine:
         self.cfg.context_weights[name] = float(weight)
         self._invalidate()
 
+    @_mutating
     def delete_context(self, name: str) -> None:
         """Hunt DeleteContext (Command.hs:74-75): drop a context and all
         its index data. With the (context, shard) partition layout this
@@ -720,6 +746,7 @@ class HuntEngine:
         self.cfg.context_weights.pop(name, None)
         self._refresh_stats()
 
+    @_mutating
     def delete_docs(self, urls: list[str]) -> None:
         t = self.spark.createDataFrame([(u,) for u in urls], "url string").select(
             F.xxhash64("url").alias("doc_id")
@@ -727,6 +754,7 @@ class HuntEngine:
         self.catalog.commit(t, "tombstones", "delete/docs", mode="append")
         self._refresh_stats()
 
+    @_mutating
     def delete_by_query(self, query) -> None:
         ids = self.select(query)
         self.catalog.commit(ids, "tombstones", "delete/query", mode="append")
@@ -749,6 +777,7 @@ class HuntEngine:
         )
         self._invalidate()
 
+    @_mutating
     def compact(self) -> None:
         """Rewrite postings minus tombstones as a fresh base snapshot
         (Hunt segment merge; Iceberg rewrite_data_files), refresh stats
@@ -796,6 +825,7 @@ class HuntEngine:
     # StoreIx / LoadIx (BasicCommand.hs:30-79 LoadIx/StoreIx) and the
     # status sub-commands (StatusCmd: gc | doctable | index | context)
     # ------------------------------------------------------------------
+    @_mutating
     def store_index(self, path: str) -> dict:
         """StoreIx: export the index's CURRENT state to ``path`` as a
         standalone catalog. Metadata-only — the new manifest pins the
@@ -844,6 +874,7 @@ class HuntEngine:
             "build_term_dict": self.cfg.build_term_dict,
         }
 
+    @_mutating
     def load_index(self, path: str) -> None:
         """LoadIx: open the catalog stored at ``path`` as the engine's
         index (deserialize-the-index verb). All cached plans/stats are

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -40,6 +41,11 @@ class IndexCatalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.manifest_path = os.path.join(root, "_snapshots.jsonl")
+        # in-process append serialization: a manifest line with lineage
+        # metadata can exceed one buffered write, and interleaved
+        # appends from two server threads would corrupt the commit log
+        # (real Iceberg gets this from optimistic metadata swaps)
+        self._append_lock = threading.Lock()
 
     # ---- manifest ----
     def _manifest(self) -> list[dict]:
@@ -108,7 +114,7 @@ class IndexCatalog:
         }
         if extra_meta:
             entry["meta"] = extra_meta
-        with open(self.manifest_path, "a") as f:
+        with self._append_lock, open(self.manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")  # the commit point
         return entry
 
