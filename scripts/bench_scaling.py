@@ -443,7 +443,11 @@ def main() -> None:
         "(tokenize+invert map-stage task slack, cluster-scaled "
         "postings salt, one-pass context_stats), raw 0.729-0.842 with "
         "median 0.833 — ABOVE the 0.8 target, in a pair whose bw "
-        "control read 0.965 (clean window). Together: the plan scales "
+        "control read 0.965 (clean window); a same-code rerun (run 10) "
+        "landed in partially degraded windows (bw control 0.70-0.88) "
+        "and measured raw 0.488-0.726, i.e. 0.70-0.92 of each window's "
+        "bw ceiling — the build tracks the substrate wherever the "
+        "window sits. Together: the plan scales "
         "wherever the substrate does; a real 4N-executor cluster "
         "multiplies sockets and memory controllers, which is exactly "
         "the regime the 2→8 ladder samples.",
