@@ -66,19 +66,34 @@ def _typed_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
                 F.floor(((did * 7) % 1790) / 10).cast("string"), F.lit("."),
                 ((did * 7) % 1790 % 10).cast("string"),
             ).alias("pos"),
+            # second position column with independent coordinates for
+            # the "position-rtree" wire-name twin (ctPositionRTree,
+            # Schema.hs:173-179 — same capability, declared under the
+            # reference's R-tree type name)
+            F.concat(
+                F.floor(((did * 3) % 900) / 10).cast("string"), F.lit("."),
+                ((did * 3) % 900 % 10).cast("string"), F.lit("-"),
+                F.floor(((did * 11) % 1790) / 10).cast("string"), F.lit("."),
+                ((did * 11) % 1790 % 10).cast("string"),
+            ).alias("posr"),
         )
         root = tempfile.mkdtemp(prefix="hunt_typed_idx_")
         eng = HuntEngine(
             spark, root,
             BuildConfig(
                 n_shards=4, salt_buckets=2,
-                context_types={"year": "int", "date": "date", "pos": "geo"},
+                context_types={
+                    "year": "int",
+                    "date": "date",
+                    "pos": "geo",
+                    "posr": "position-rtree",
+                },
                 build_blocks=False, build_term_dict=False,
             ),
         )
         eng.build(
             docs,
-            {c: F.col(c) for c in ("year", "date", "pos")},
+            {c: F.col(c) for c in ("year", "date", "pos", "posr")},
             build_id=key,
         )
         _ENGINES[key] = eng
@@ -283,6 +298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_geo_rect": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("pos:[10.0-20.0 TO 49.9-99.9]"),
+        # I11: the same rect-containment capability served under the
+        # reference's "position-rtree" context type name
+        # (ctPositionRTree, Schema.hs:173-179; RTreeIndex.hs answers
+        # identical in-rect lookups) — z-order layout either way here
+        "idx_geo_rtree": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("posr:[15.0-30.0 TO 59.9-119.9]"),
         # positions-free "text-small" context (Schema.hs:138-144): term
         # retrieval identical to text — only positions storage differs
         "idx_text_small": lambda spark, sf_dir: _small_engine(
@@ -874,6 +896,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE doc_id % 900 BETWEEN 100 AND 499 "
             "AND (doc_id * 7) % 1790 BETWEEN 200 AND 999"
+        ),
+        "idx_geo_rtree": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id * 3) % 900 BETWEEN 150 AND 599 "
+            "AND (doc_id * 11) % 1790 BETWEEN 300 AND 1199"
         ),
         # identical planted footers + identical pattern literals (no
         # backrefs/lookarounds => Java regex == RE2)

@@ -192,12 +192,15 @@ class HuntEngine:
                 avg_dl={r["context"]: r["avg_dl"] for r in cstats},
                 context_weights=self.cfg.context_weights,
             )
-            from hunt_spark.functions.analysis import CONTEXT_NORMS_PY
+            from hunt_spark.functions.analysis import (
+                CONTEXT_NORMS_PY,
+                canonical_ctype,
+            )
 
             norms = {
-                cx: CONTEXT_NORMS_PY[t]
+                cx: CONTEXT_NORMS_PY[canonical_ctype(t)]
                 for cx, t in self.cfg.context_types.items()
-                if t in CONTEXT_NORMS_PY
+                if canonical_ctype(t) in CONTEXT_NORMS_PY
             }
             self._compiler = QueryCompiler(
                 self._postings(),
@@ -711,7 +714,14 @@ class HuntEngine:
         through subsequent insert()/update() calls whose context_cols
         include the new context. Duplicate registration fails, mirroring
         the reference (InterpreterTests 'inserting a context twice')."""
-        if ctype not in ("text", "text-small", "int", "date", "geo"):
+        from hunt_spark.functions.analysis import KNOWN_CTYPES
+
+        # the full reference default set (Interpreter.hs:185
+        # contextTypes): text, text-small, int, date, position,
+        # position-rtree — plus the rebuild's native "geo" name.
+        # Declared names are kept on the schema surface; storage and
+        # planning canonicalize (position/position-rtree -> geo).
+        if ctype not in KNOWN_CTYPES:
             raise ValueError(f"unknown context type {ctype!r}")
         sch = self._schema() or {}
         if name in sch:

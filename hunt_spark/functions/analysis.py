@@ -321,6 +321,26 @@ def geo_denorm_py(z: str) -> str | None:
 
 CONTEXT_NORMS_PY = {"int": int_norm_py, "date": date_norm_py, "geo": geo_norm_py}
 
+# Reference wire names (Schema.hs ctName) -> storage/normalizer type.
+# "position" (ctPosition, Schema.hs:165-171) and "position-rtree"
+# (ctPositionRTree, Schema.hs:173-179) share the lat-lon key syntax,
+# validator, and query surface; they differ only in the reference's
+# in-memory index structure (z-curve PrefixTreeIndex2Dim vs
+# RTreeIndex.hs:44-100). Here both resolve to the z-order "geo"
+# layout: under columnar storage the rect query is a coarse z-interval
+# scan + exact de-interleaved per-axis BETWEEN either way, so the
+# R-tree is a data-structure choice, not a distinct capability
+# (SURVEY §2 I10/I11). Declared names are preserved on the schema
+# surface; canonical names drive storage and planning.
+CTYPE_ALIASES = {"position": "geo", "position-rtree": "geo"}
+KNOWN_CTYPES = ("text", "text-small", "int", "date", "geo") + tuple(CTYPE_ALIASES)
+
+
+def canonical_ctype(ctype: str) -> str:
+    """Collapse reference wire names onto the storage type that
+    implements them (identity for the native names)."""
+    return CTYPE_ALIASES.get(ctype, ctype)
+
 
 def normalize_context_col(col: Column | str, ctype: str) -> Column:
     """Raw text column -> space-joined stream of validated+normalized
@@ -331,6 +351,7 @@ def normalize_context_col(col: Column | str, ctype: str) -> Column:
 
     int/date are pure JVM expressions; geo needs bit interleaving —
     a vectorized Arrow UDF."""
+    ctype = canonical_ctype(ctype)
     c = F.col(col) if isinstance(col, str) else col
     if ctype == "text":
         return c

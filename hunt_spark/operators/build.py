@@ -59,7 +59,10 @@ class BuildConfig:
     salt_buckets: int = 4  # writer-task spread per (context, shard)
     block_size: int = 4096  # max postings per compressed block
     context_weights: dict[str, float] = field(default_factory=dict)
-    # per-context type: "text" (default) | "int" | "date" | "geo" —
+    # per-context type: "text" (default) | "text-small" | "int" |
+    # "date" | "geo" (reference wire names "position"/"position-rtree"
+    # are accepted aliases of geo — Schema.hs ctPosition:165-171,
+    # ctPositionRTree:173-179 share key syntax and query surface) —
     # drives the analysis normalizer chain (build side via
     # normalize_context_col, query side via CONTEXT_NORMS_PY)
     context_types: dict[str, str] = field(default_factory=dict)

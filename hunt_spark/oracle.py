@@ -52,7 +52,11 @@ class OracleIndex:
         self.word_limit = word_limit
         self.doc_limit = doc_limit
         self.scoring = scoring
-        self.context_types = context_types or {}
+        from hunt_spark.functions.analysis import canonical_ctype
+
+        self.context_types = {
+            cx: canonical_ctype(t) for cx, t in (context_types or {}).items()
+        }
         # per-context query-constant normalizers (typed contexts);
         # mirrors QueryCompiler.context_norms
         self.context_norms = context_norms or {}

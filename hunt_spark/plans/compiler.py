@@ -161,7 +161,14 @@ class QueryCompiler:
         if scoring not in ("bm25", "hunt"):
             raise ValueError(f"unknown scoring mode {scoring!r}")
         self.scoring = scoring
-        self.context_types = context_types or {}
+        # planning only needs storage semantics — collapse reference
+        # wire names ("position"/"position-rtree") onto their storage
+        # type so the geo/int branch tests below see canonical names
+        from hunt_spark.functions.analysis import canonical_ctype
+
+        self.context_types = {
+            cx: canonical_ctype(t) for cx, t in (context_types or {}).items()
+        }
         self._n_map = stats.lit_map({k: float(v) for k, v in stats.n_docs.items()})
         self._avgdl_map = stats.lit_map(stats.avg_dl)
 

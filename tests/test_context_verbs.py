@@ -72,6 +72,30 @@ def test_insert_typed_context_at_runtime(spark, eng):
     assert got2 == got
 
 
+def test_insert_position_rtree_context_at_runtime(spark, eng):
+    # the reference wire name "position-rtree" (ctPositionRTree,
+    # Interpreter.hs:185, Schema.hs:173-179) registers, keeps its
+    # declared name on the durable schema, and answers rect queries
+    # through the z-order layout after reopen
+    eng.insert_context("spot", ctype="position-rtree")
+    new = spark.createDataFrame(
+        [("https://example.org/p1", "body", "10.5-20.5"),
+         ("https://example.org/p2", "body", "80.0-170.0")],
+        "url string, text string, spot string",
+    )
+    eng.insert(new, {"text": F.col("text"), "spot": F.col("spot")})
+
+    def rect_urls(e):
+        got = e.search("spot:[10.0-20.0 TO 11.0-21.0]", k=10)
+        return {r["url"] for r in got.collect()}
+
+    assert rect_urls(eng) == {"https://example.org/p1"}
+    reopened = HuntEngine(eng.spark, eng.catalog.root, BuildConfig(n_shards=4))
+    assert rect_urls(reopened) == {"https://example.org/p1"}
+    # declared name survives on the schema surface
+    assert reopened._schema()["spot"][0] == "position-rtree"
+
+
 def test_delete_context_drops_partitions_and_reopens_wand(spark, eng):
     eng.insert_context("tag")
     new = spark.createDataFrame(

@@ -1,10 +1,13 @@
 """Parity suite for the reference's per-context-type Index matrix
 (test/Hunt/Index/Default.hs:34-52): for every ContextType in
-contextTypes — ctText "test", ctTextSimple "test", ctInt "1000",
-ctDate "2012-01-01", ctPosition "1-1" (ctPositionRTree shares the key
-and is capability-subsumed by the z-order index here, SURVEY §2 I11) —
-run the insert / insertList / delete / deleteDocs / empty / toList
-lifecycle through the engine's verb surface."""
+contextTypes (Interpreter.hs:185) — ctText "test", ctTextSimple
+"test", ctInt "1000", ctDate "2012-01-01", ctPosition "1-1",
+ctPositionRTree "1-1" — run the insert / insertList / delete /
+deleteDocs / empty / toList lifecycle through the engine's verb
+surface. "position" and "position-rtree" are the reference wire names
+for the geo capability (both resolve to the z-order layout here;
+RTreeIndex.hs answers the same in-rect lookups — SURVEY §2 I11); the
+rebuild's native "geo" name is exercised too."""
 
 from __future__ import annotations
 
@@ -21,7 +24,9 @@ CONTEXT_TYPES = [
     ("text-small", "test", "filler"),
     ("int", "1000", "7"),
     ("date", "2012-01-01", "1999-05-04"),
-    ("geo", "1-1", "2-2"),  # ctPosition AND ctPositionRTree key
+    ("geo", "1-1", "2-2"),  # rebuild-native name for the position type
+    ("position", "1-1", "2-2"),  # ctPosition wire name (Schema.hs:167)
+    ("position-rtree", "1-1", "2-2"),  # ctPositionRTree (Schema.hs:175)
 ]
 
 
@@ -71,7 +76,9 @@ def test_index_lifecycle_per_context_type(spark, tmp_path_factory, ctype, key, f
     assert eng.select(f"cx:'{filler}'").count() == 1
     # toList (Ix.toList): the context's term listing holds exactly the
     # normalized surviving keys
-    norm = CONTEXT_NORMS_PY.get("geo" if ctype == "geo" else ctype.split("-")[0])
+    from hunt_spark.functions.analysis import canonical_ctype
+
+    norm = CONTEXT_NORMS_PY.get(canonical_ctype(ctype))
     want = norm(filler) if norm else filler
     terms = set(eng.status_context("cx", limit=100)["terms"])
     assert terms == {want}, (terms, want)
