@@ -76,8 +76,20 @@ def _typed_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
                 F.floor(((did * 11) % 1790) / 10).cast("string"), F.lit("."),
                 ((did * 11) % 1790 % 10).cast("string"),
             ).alias("posr"),
+            # punctuation-adjacent date inside running prose: only the
+            # cxRegEx scan (the reference's ctDate default regex,
+            # Schema.hs:158) lifts it out — the default whitespace scan
+            # would see "2001-02-03," and reject it
+            F.format_string(
+                "event at %04d-%02d-%02d, closed.",
+                (F.lit(1990) + (did * 3) % 30),
+                (F.lit(1) + (did * 5) % 12),
+                (F.lit(1) + (did * 7) % 28),
+            ).alias("logline"),
         )
         root = tempfile.mkdtemp(prefix="hunt_typed_idx_")
+        from hunt_spark.functions.analysis import REFERENCE_SCAN_REGEXES
+
         eng = HuntEngine(
             spark, root,
             BuildConfig(
@@ -87,13 +99,17 @@ def _typed_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
                     "date": "date",
                     "pos": "geo",
                     "posr": "position-rtree",
+                    "logline": "date",
+                },
+                context_regexes={
+                    "logline": REFERENCE_SCAN_REGEXES["date"],
                 },
                 build_blocks=False, build_term_dict=False,
             ),
         )
         eng.build(
             docs,
-            {c: F.col(c) for c in ("year", "date", "pos", "posr")},
+            {c: F.col(c) for c in ("year", "date", "pos", "posr", "logline")},
             build_id=key,
         )
         _ENGINES[key] = eng
@@ -295,6 +311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_date_range": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("date:[1995-01-01 TO 2009-06-15]"),
+        # cxRegEx scan override (ContextSchema, Schema.hs:77-92): the
+        # date context is fed running prose and scanned with the
+        # reference's ctDate default regex — the comma-adjacent date
+        # only exists in the index because of the regex scan
+        "idx_date_regex_scan": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("logline:[2001-02-01 TO 2010-10-10]"),
         "idx_geo_rect": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("pos:[10.0-20.0 TO 49.9-99.9]"),
@@ -891,6 +914,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE (1990 + doc_id % 30) * 10000 + (1 + doc_id % 12) * 100 "
             "+ (1 + doc_id % 28) BETWEEN 19950101 AND 20090615"
+        ),
+        "idx_date_regex_scan": (
+            "SELECT doc_id FROM documents "
+            "WHERE (1990 + (doc_id * 3) % 30) * 10000 "
+            "+ (1 + (doc_id * 5) % 12) * 100 "
+            "+ (1 + (doc_id * 7) % 28) BETWEEN 20010201 AND 20101010"
         ),
         "idx_geo_rect": (
             "SELECT doc_id FROM documents "

@@ -154,33 +154,45 @@ class HuntEngine:
             self._doc_meta = m
         return self._doc_meta
 
-    def _schema(self) -> dict[str, tuple[str, float]] | None:
-        """Durable context registry {context: (ctype, weight)} — Hunt's
-        ContextSchema, maintained by build and the Insert/DeleteContext
-        verbs (Interpreter/Command.hs:71-75). None on pre-schema
-        catalogs (contexts then derive from context_stats)."""
+    def _schema(self) -> dict[str, tuple[str, float, str | None]] | None:
+        """Durable context registry {context: (ctype, weight, regex)} —
+        Hunt's ContextSchema, maintained by build and the Insert/
+        DeleteContext verbs (Interpreter/Command.hs:71-75); regex is the
+        cxRegEx scan override (Schema.hs:77-92), None for the type
+        default. None on pre-schema catalogs (contexts then derive from
+        context_stats); pre-regex snapshots read as regex=None."""
         try:
             rows = self.catalog.read(self.spark, "schema").collect()
         except FileNotFoundError:
             return None
-        return {r["context"]: (r["ctype"], r["weight"]) for r in rows}
+        return {
+            r["context"]: (r["ctype"], r["weight"], r.asDict().get("regex"))
+            for r in rows
+        }
 
-    def _commit_schema(self, sch: dict[str, tuple[str, float]], key: str) -> None:
+    def _commit_schema(
+        self, sch: dict[str, tuple[str, float, str | None]], key: str
+    ) -> None:
         from hunt_spark.operators.build import schema_values_df
 
-        rows = [(cx, t, float(w)) for cx, (t, w) in sorted(sch.items())]
+        rows = [
+            (cx, t, float(w), rx) for cx, (t, w, rx) in sorted(sch.items())
+        ]
         self.catalog.commit(schema_values_df(self.spark, rows), "schema", key)
 
     def _sync_cfg_from_schema(self) -> dict | None:
         """Fold the durable schema into the in-memory cfg so a reopened
-        engine normalizes typed contexts and applies context weights
-        without re-passing BuildConfig."""
+        engine normalizes typed contexts, applies context weights, and
+        scans with per-context cxRegEx overrides without re-passing
+        BuildConfig."""
         sch = self._schema()
         if sch is not None:
-            for cx, (t, w) in sch.items():
+            for cx, (t, w, rx) in sch.items():
                 if t != "text":
                     self.cfg.context_types.setdefault(cx, t)
                 self.cfg.context_weights.setdefault(cx, w)
+                if rx is not None:
+                    self.cfg.context_regexes.setdefault(cx, rx)
         return sch
 
     def compiler(self) -> QueryCompiler:
@@ -707,13 +719,19 @@ class HuntEngine:
 
     @_mutating
     def insert_context(
-        self, name: str, ctype: str = "text", weight: float = 1.0
+        self,
+        name: str,
+        ctype: str = "text",
+        weight: float = 1.0,
+        regex: str | None = None,
     ) -> None:
         """Hunt InsertContext (Command.hs:71-73): register a new context
         in the schema at runtime — no rebuild; postings for it arrive
         through subsequent insert()/update() calls whose context_cols
-        include the new context. Duplicate registration fails, mirroring
-        the reference (InterpreterTests 'inserting a context twice')."""
+        include the new context. ``regex`` is the ContextSchema cxRegEx
+        scan override (Schema.hs:77-92) — None scans with the type
+        default. Duplicate registration fails, mirroring the reference
+        (InterpreterTests 'inserting a context twice')."""
         from hunt_spark.functions.analysis import KNOWN_CTYPES
 
         # the full reference default set (Interpreter.hs:185
@@ -723,14 +741,23 @@ class HuntEngine:
         # planning canonicalize (position/position-rtree -> geo).
         if ctype not in KNOWN_CTYPES:
             raise ValueError(f"unknown context type {ctype!r}")
+        if regex is not None:
+            import re as _re
+
+            try:
+                _re.compile(regex)
+            except _re.error as e:
+                raise ValueError(f"bad context regex {regex!r}: {e}") from e
         sch = self._schema() or {}
         if name in sch:
             raise ValueError(f"context {name!r} already exists")
-        sch[name] = (ctype, float(weight))
+        sch[name] = (ctype, float(weight), regex)
         self._commit_schema(sch, f"insert_context/{name}")
         if ctype != "text":
             self.cfg.context_types[name] = ctype
         self.cfg.context_weights[name] = float(weight)
+        if regex is not None:
+            self.cfg.context_regexes[name] = regex
         self._invalidate()
 
     @_mutating
@@ -754,6 +781,7 @@ class HuntEngine:
         self._commit_schema(sch, f"delete_context/{name}/schema")
         self.cfg.context_types.pop(name, None)
         self.cfg.context_weights.pop(name, None)
+        self.cfg.context_regexes.pop(name, None)
         self._refresh_stats()
 
     @_mutating

@@ -41,6 +41,55 @@ from pyspark.sql.types import StringType
 TOKEN_PATTERN_JAVA = r"(?U)\w+"
 TOKEN_PATTERN_PY = re.compile(r"\w+", re.UNICODE)
 
+# The reference's per-context-type default scan regexes (ContextType
+# ctRegEx, Schema.hs:125-179), usable as BuildConfig.context_regexes
+# values — the cxRegEx per-context override surface (ContextSchema,
+# Schema.hs:77-92): scanTextRE tokenizes with the regex, empties are
+# dropped, the validator+normalizer chain runs on the matches. The
+# ``*`` forms are written ``+`` here: scan-then-drop-empties is
+# match-all-then-filter either way, and the non-empty forms keep
+# regexp_extract_all from emitting an empty match at every boundary.
+# Note the reference's date default scans bare YYYY-MM-DD only — a
+# datetime in a date context indexes as its date part unless the
+# context overrides the regex (exactly the reference behavior).
+REFERENCE_SCAN_REGEXES = {
+    "text": r"\w+",  # ctText "\\w*", Schema.hs:129
+    "text-small": r"\w+",  # ctTextSimple, Schema.hs:140
+    "int": r"-?[0-9]+",  # ctInt "([-]?[0-9]*)", Schema.hs:149
+    # ctDate, Schema.hs:158
+    "date": r"[0-9]{4}-((0[1-9])|(1[0-2]))-((0[1-9])|([12][0-9])|(3[01]))",
+    # ctPosition / ctPositionRTree, Schema.hs:167,175
+    "position": (
+        r"-?(90(\.0*)?|[1-8]?[0-9](\.[0-9]*)?)"
+        r"--?((180(\.0*)?)|(1[0-7][0-9])|([1-9]?[0-9]))(\.[0-9]*)?"
+    ),
+}
+REFERENCE_SCAN_REGEXES["geo"] = REFERENCE_SCAN_REGEXES["position"]
+REFERENCE_SCAN_REGEXES["position-rtree"] = REFERENCE_SCAN_REGEXES["position"]
+
+
+def scan_tokens_col(col: Column | str, regex: str) -> Column:
+    """scanTextRE (Analyze.hs:85-92) as a JVM expression: all
+    non-overlapping matches of ``regex`` in document order, empty
+    matches dropped. Group 0 is taken, so reference regexes with
+    inner capture groups work verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(regex), 0), lambda t: t != F.lit("")
+    )
+
+
+_SCAN_PY_CACHE: dict[str, re.Pattern] = {}
+
+
+def scan_py(text: str, regex: str) -> list[str]:
+    """Python twin of scan_tokens_col (oracle + driver side); must
+    agree with the JVM scan on the Java/Python-common regex subset."""
+    pat = _SCAN_PY_CACHE.get(regex)
+    if pat is None:
+        pat = _SCAN_PY_CACHE[regex] = re.compile(regex)
+    return [m.group(0) for m in pat.finditer(text or "") if m.group(0)]
+
 _SCRIPT_STYLE_RE = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
@@ -342,12 +391,24 @@ def canonical_ctype(ctype: str) -> str:
     return CTYPE_ALIASES.get(ctype, ctype)
 
 
-def normalize_context_col(col: Column | str, ctype: str) -> Column:
+def normalize_context_col(
+    col: Column | str, ctype: str, scan_regex: str | None = None
+) -> Column:
     """Raw text column -> space-joined stream of validated+normalized
     tokens for a typed context (feed this as the context column to the
     build; downstream \\w+ tokenization preserves the normalized forms,
     and positions are 1-based over the SURVIVING tokens, matching
     Hunt's validate-then-position order).
+
+    ``scan_regex`` (cxRegEx, ContextSchema Schema.hs:77-92) overrides
+    the default whitespace scan: tokens are then the regex's matches in
+    document order — e.g. the reference's date default
+    (REFERENCE_SCAN_REGEXES["date"]) lifts punctuation-adjacent dates
+    out of running text. Without it the rebuild scans on whitespace,
+    which is deliberately broader than the reference's type defaults
+    (a clean "2013-06" token validates here; the reference's default
+    date regex would never emit it — only a cxRegEx override reaches
+    those partial forms there too).
 
     int/date are pure JVM expressions; geo needs bit interleaving —
     a vectorized Arrow UDF."""
@@ -355,7 +416,11 @@ def normalize_context_col(col: Column | str, ctype: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if ctype == "text":
         return c
-    toks = F.split(c, r"\s+")
+    toks = (
+        scan_tokens_col(c, scan_regex)
+        if scan_regex is not None
+        else F.split(c, r"\s+")
+    )
     if ctype == "int":
         mapped = F.transform(
             toks,
@@ -434,7 +499,12 @@ def normalize_context_col(col: Column | str, ctype: str) -> Column:
             ),
         )
     elif ctype == "geo":
-        return _geo_norm_text_udf(c)
+        # the Arrow kernel whitespace-splits internally; a scan override
+        # pre-extracts the matches (lat-lon tokens carry no spaces, so
+        # the space-join round-trips exactly)
+        return _geo_norm_text_udf(
+            F.array_join(toks, " ") if scan_regex is not None else c
+        )
     else:
         raise ValueError(f"unknown context type {ctype!r}")
     return F.array_join(F.filter(mapped, lambda x: x.isNotNull()), " ")

@@ -77,6 +77,15 @@ class BuildConfig:
     # keep the whole-document extraction. Only meaningful with
     # extract_html=True.
     context_selectors: dict[str, str] = field(default_factory=dict)
+    # per-context scan-regex override (ContextSchema cxRegEx,
+    # Schema.hs:77-92): tokens are the regex's matches in document
+    # order (scanTextRE, empties dropped) instead of the default scan
+    # (\w+ for text contexts, whitespace for typed ones). The regex
+    # runs JVM-side (regexp_extract_all) and in the python kernel, so
+    # it must stay in the Java/Python-common syntax (no backrefs
+    # needed by the reference defaults — REFERENCE_SCAN_REGEXES in
+    # functions.analysis carries the Schema.hs:125-179 per-type set).
+    context_regexes: dict[str, str] = field(default_factory=dict)
     # Inversion strategy — all measured at 500k docs / 43M postings:
     # "arrow" (default): tokenize JVM-side (whole-stage-codegen
     #   regexp_extract_all), ship list<string> token arrays through
@@ -110,7 +119,37 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _make_invert(extract_html: bool):
+def _text_scan_overrides(cfg: BuildConfig) -> dict[str, str]:
+    """cxRegEx overrides that apply at the TOKENIZE stage — i.e. on
+    text/text-small contexts, whose custom tokens (possibly containing
+    non-word chars) must never pass through a \\w+ re-scan. Typed
+    contexts apply their override inside normalize_context_col
+    instead (their normalized output is \\w-safe by construction)."""
+    return {
+        cx: rx
+        for cx, rx in cfg.context_regexes.items()
+        if cfg.context_types.get(cx, "text") in ("text", "text-small")
+    }
+
+
+def _tokenize_expr(cfg: BuildConfig | None):
+    """Per-context tokenizer over the stacked (context, text) frame:
+    the default \\w+ scan, with scanTextRE branches for contexts
+    carrying a cxRegEx override — a JVM CASE expression, still inside
+    whole-stage codegen."""
+    from hunt_spark.functions.analysis import scan_tokens_col, tokenize_col
+
+    expr = tokenize_col(F.col("text"))
+    if cfg is None:
+        return expr
+    for cx, rx in sorted(_text_scan_overrides(cfg).items()):
+        expr = F.when(
+            F.col("context") == cx, scan_tokens_col(F.col("text"), rx)
+        ).otherwise(expr)
+    return expr
+
+
+def _make_invert(extract_html: bool, scan_pats: dict[str, str] | None = None):
     """Batch-vectorized tokenize + invert kernel (optionally fused with
     HTML text extraction — one Arrow round-trip instead of two python
     stages).
@@ -137,7 +176,17 @@ def _make_invert(extract_html: bool):
             texts = b["text"]
             if extract_html:
                 texts = [_extract_one(x) for x in texts]
-            toks = [TOKEN_PATTERN_PY.findall(t) if t else [] for t in texts]
+            if scan_pats:
+                from hunt_spark.functions.analysis import scan_py
+
+                toks = [
+                    scan_py(t, scan_pats[cx])
+                    if cx in scan_pats
+                    else (TOKEN_PATTERN_PY.findall(t) if t else [])
+                    for cx, t in zip(b["context"], texts)
+                ]
+            else:
+                toks = [TOKEN_PATTERN_PY.findall(t) if t else [] for t in texts]
             lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
             total = int(lens.sum())
             if total == 0:
@@ -240,17 +289,15 @@ def _invert_arrow(tokenized: DataFrame) -> DataFrame:
     return tokenized.mapInArrow(go, schema=POSTINGS_SCHEMA)
 
 
-def _invert_jvm(stacked: DataFrame) -> DataFrame:
+def _invert_jvm(stacked: DataFrame, cfg: BuildConfig | None = None) -> DataFrame:
     """Pure-JVM inversion: tokenize (regexp_extract_all), dl computed
     map-side BEFORE the explode (rides the token rows — no second
     shuffle or doc join), posexplode for 1-based positions, groupBy
     (context, doc_id, term) with map-side partial aggregation. Whole-
     stage codegen end to end; shuffles Tungsten token rows instead of
     Python objects."""
-    from hunt_spark.functions.analysis import tokenize_col
-
     toks = (
-        stacked.withColumn("toks", tokenize_col(F.col("text")))
+        stacked.withColumn("toks", _tokenize_expr(cfg))
         .withColumn("dl", F.size("toks").cast("int"))
         .filter(F.col("dl") > 0)
         .select(
@@ -285,8 +332,11 @@ def postings_from_contexts(
             return col.cast(cast_to)
         # typed contexts: validate+normalize into a token stream whose
         # \w+ re-tokenization is the normalized terms (positions stay
-        # 1-based over surviving tokens — Hunt Analyze.hs:62-84 order)
-        return normalize_context_col(col.cast("string"), ctype).cast(cast_to)
+        # 1-based over surviving tokens — Hunt Analyze.hs:62-84 order);
+        # a cxRegEx override replaces the whitespace scan in there
+        return normalize_context_col(
+            col.cast("string"), ctype, scan_regex=cfg.context_regexes.get(name)
+        ).cast(cast_to)
 
     per_cx = [
         docs.select(
@@ -309,24 +359,27 @@ def postings_from_contexts(
     else:
         extract_in_kernel = cfg.extract_html
     if strategy == "python":
-        p = stacked.mapInPandas(_make_invert(extract_in_kernel), schema=POSTINGS_SCHEMA)
+        p = stacked.mapInPandas(
+            _make_invert(
+                extract_in_kernel, scan_pats=_text_scan_overrides(cfg) or None
+            ),
+            schema=POSTINGS_SCHEMA,
+        )
     else:
         if extract_in_kernel:
             # byte-identity contract: extraction stays the vectorized
             # python UDF; tokenization and inversion move off python
             stacked = stacked.withColumn("text", extract_text_udf("text"))
         if strategy == "arrow":
-            from hunt_spark.functions.analysis import tokenize_col
-
             tokenized = (
-                stacked.withColumn("toks", tokenize_col(F.col("text")))
+                stacked.withColumn("toks", _tokenize_expr(cfg))
                 .withColumn("dl", F.size("toks").cast("int"))
                 .filter(F.col("dl") > 0)
                 .select("doc_id", "context", "toks", "dl")
             )
             p = _invert_arrow(tokenized)
         else:
-            p = _invert_jvm(stacked)
+            p = _invert_jvm(stacked, cfg)
     small = sorted(
         cx for cx, t in cfg.context_types.items() if t == "text-small"
     )
@@ -355,17 +408,25 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     pure Catalyst."""
     if not rows:
         return spark.createDataFrame(
-            [], "context string, ctype string, weight double"
+            [], "context string, ctype string, weight double, regex string"
         )
+
+    def _lit(s: str | None) -> str:
+        # Spark SQL literals treat backslash as an escape ('\w' parses
+        # to 'w'); regexes must double it to round-trip
+        if s is None:
+            return "NULL"
+        return "'{}'".format(s.replace("\\", "\\\\").replace("'", "''"))
+
     vals = ", ".join(
-        "('{}', '{}', CAST({!r} AS DOUBLE))".format(
-            cx.replace("'", "''"), t.replace("'", "''"), float(w)
+        "('{}', '{}', CAST({!r} AS DOUBLE), CAST({} AS STRING))".format(
+            cx.replace("'", "''"), t.replace("'", "''"), float(w), _lit(rx)
         )
-        for cx, t, w in rows
+        for cx, t, w, rx in rows
     )
     return spark.sql(
-        f"SELECT col1 AS context, col2 AS ctype, col3 AS weight "
-        f"FROM VALUES {vals}"
+        f"SELECT col1 AS context, col2 AS ctype, col3 AS weight, "
+        f"col4 AS regex FROM VALUES {vals}"
     ).coalesce(1)
 
 
@@ -772,6 +833,7 @@ def build_index(
             cx,
             cfg.context_types.get(cx, "text"),
             float(cfg.context_weights.get(cx, 1.0)),
+            cfg.context_regexes.get(cx),
         )
         for cx in sorted(context_cols)
     ]

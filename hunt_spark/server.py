@@ -200,8 +200,8 @@ class HuntServer:
                 return {
                     "code": 0,
                     "res": {
-                        cx: {"type": t, "weight": w}
-                        for cx, (t, w) in sorted(sch.items())
+                        cx: {"type": t, "weight": w, "regexp": rx}
+                        for cx, (t, w, rx) in sorted(sch.items())
                     },
                 }
             if parts[1] == "context" and len(parts) == 3:
@@ -420,6 +420,9 @@ class HuntServer:
                     cmd["context"],
                     ctype=sch.get("type", "text"),
                     weight=float(sch.get("weight", 1.0)),
+                    # ContextSchema "regexp" (Schema.hs:295-311 FromJSON)
+                    # — here in the Java/Python-common regex syntax
+                    regex=sch.get("regexp"),
                 )
             except ValueError as e:
                 raise HuntApiError(400, str(e)) from e

@@ -33,7 +33,9 @@ import time
 import uuid
 
 import pyarrow.parquet as pq
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 class IndexCatalog:
@@ -110,6 +112,9 @@ class IndexCatalog:
             "path": path,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "wall_ms": wall_ms,
+            # an all-rows-filtered write leaves no data files to infer a
+            # schema from; record it so read() can rebuild the empty frame
+            "schema": df.schema.json(),
             "lineage": self._partition_lineage(path),
         }
         if extra_meta:
@@ -215,7 +220,26 @@ class IndexCatalog:
         self, spark: SparkSession, table: str, pinned_snapshot: str | None = None
     ) -> DataFrame:
         paths = self.current_paths(table, pinned_snapshot)
-        df = spark.read.parquet(paths[0])
+        schema_by_path = {
+            e["path"]: e.get("schema") for e in self.snapshots(table)
+        }
+
+        def _one(p: str) -> DataFrame:
+            try:
+                return spark.read.parquet(p)
+            except AnalysisException:
+                # a snapshot of an empty frame (e.g. a build whose every
+                # token the validator rejected) has no data files —
+                # Spark can't infer a schema; rebuild the empty frame
+                # from the schema the commit recorded
+                sj = schema_by_path.get(p)
+                if sj is None:
+                    raise
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(sj))
+                )
+
+        df = _one(paths[0])
         for p in paths[1:]:
-            df = df.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+            df = df.unionByName(_one(p), allowMissingColumns=True)
         return df
