@@ -23,6 +23,8 @@ positions over the *surviving* token stream.
 
 from __future__ import annotations
 
+import calendar as _calendar
+import datetime as _datetime
 import html as _html
 import re
 
@@ -281,52 +283,119 @@ def int_norm_py(tok: str) -> str | None:
     return "0" + str(_TEN20 + n).zfill(20)
 
 
-_DATE_RES = [
-    (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"), 6),
-    (re.compile(r"(\d{4})-(\d{2})-(\d{2})"), 3),
-    (re.compile(r"(\d{4})-(\d{2})"), 2),
-    (re.compile(r"(\d{4})"), 1),
-]
-
-# xsd gMonthDay / gMonth / gDay (Normalize/Date.hs rexDates:
-# "--MM-DD", "--MM", "---DD"); the reference's readMonthDayS/readMonthS/
-# readDayS all default the missing fields to YEAR 1 (fromGregorian 1 ...),
-# so "--12-25" packs as 0001-12-25 midnight. gDay first: "--\d" would
-# not match "---25" anyway (fullmatch), but the order mirrors
-# safeDateReaders' most-specific-first list.
-_DATE_PARTIAL_RES = [
-    (re.compile(r"--(\d{2})-(\d{2})"), lambda m: "0001" + m.group(1) + m.group(2)),
-    (re.compile(r"---(\d{2})"), lambda m: "000101" + m.group(1)),
-    (re.compile(r"--(\d{2})"), lambda m: "0001" + m.group(1) + "01"),
+# Date grammar mirroring the reference's rexDates (Normalize/Date.hs:
+# 167-217) in safeDateReaders order (Date.hs:104-110, first matching
+# form reads the token): dateTime, date, gYearMonth, gYear, gMonthDay,
+# gMonth, gDay — each with an optional timezone suffix. Bounds are the
+# reference's own: month 01-12 (m2), day 01-31 (t2, calendar-clipped
+# by fromGregorian), hour 00-23 (h2) or the literal 24:00:00 leap
+# form, tz hour 00-13 (h13). Narrowings vs the reference, documented:
+# negative years and >4-digit years are rejected (its own normalize
+# says "no proper support for dates before year 0", and the packed key
+# ordering breaks for 5-digit years in the reference too); the
+# "+14:00:00" tz alternative its regex admits is rejected here — the
+# reference's readTimeZone crashes on it (`read "00:00" :: Int`,
+# Date.hs:236-246), so no working behavior exists to mirror.
+_TZ_SUFFIX = (
+    r"(?:(?P<tzz>Z)|(?P<tzsign>[+-])(?P<tzh>0[0-9]|1[0-3]):(?P<tzm>[0-5][0-9]))?"
+)
+_Y_PART = r"(?P<y>[0-9]{4})"
+_MO_PART = r"(?P<mo>0[1-9]|1[0-2])"
+_D_PART = r"(?P<d>0[1-9]|[12][0-9]|3[01])"
+_HMS_PART = (
+    r"(?:(?P<h>[01][0-9]|2[0-3]):(?P<mi>[0-5][0-9]):(?P<s>[0-5][0-9])"
+    r"(?P<fr>\.[0-9]+)?|(?P<h24>24:00:00)(?:\.0+)?)"
+)
+_DATE_FORMS = [
+    re.compile(p + _TZ_SUFFIX)
+    for p in (
+        rf"{_Y_PART}-{_MO_PART}-{_D_PART}T{_HMS_PART}",  # dateTime
+        rf"{_Y_PART}-{_MO_PART}-{_D_PART}",  # date
+        rf"{_Y_PART}-{_MO_PART}",  # gYearMonth
+        _Y_PART,  # gYear
+        rf"--{_MO_PART}-{_D_PART}",  # gMonthDay
+        rf"--{_MO_PART}",  # gMonth
+        rf"---{_D_PART}",  # gDay
+    )
 ]
 
 
 def date_norm_py(tok: str) -> str | None:
-    """ISO-8601 date[time] -> 14-digit yyyymmddhhmmss string
-    (Normalize/Date.hs:56-63 digit packing); lexicographic ==
-    chronological. Partial dates are accepted like the reference's
-    isAnyDate/readAnyDateM (AnalyzerTests.hs prop_isAnyDate3: "2013" is
-    a valid date): gYear/gYearMonth expand to Jan-1 / day-1 midnight
-    (toUTC defaults), and the year-less xsd forms gMonthDay/gMonth/gDay
-    ("--12-25"/"--12"/"---25") default the missing fields to year 1 /
-    month 1 / day 1 exactly like readMonthDayS/readMonthS/readDayS.
-    Known narrowing vs the reference: the optional timezone suffixes
-    ("Z", "+hh:mm") its regexes accept are rejected here rather than
-    shifted to UTC."""
-    for rx, ngroups in _DATE_RES:
-        m = rx.fullmatch(tok or "")
+    """ISO-8601 date[time] -> yyyymmddhhmmss[.f+] key (Normalize/
+    Date.hs:56-63 digit packing: show-then-strip '-T:'); lexicographic
+    == chronological. Reference-parity semantics, each pinned in
+    tests/test_typed_contexts.py:
+
+    - partial forms expand to toUTC defaults — gYear/gYearMonth to
+      Jan-1/day-1 midnight, the year-less xsd forms gMonthDay/gMonth/
+      gDay ("--12-25"/"--12"/"---25") to year 1 (readMonthDayS etc.,
+      Date.hs:281-298);
+    - out-of-calendar days CLIP like fromGregorian ("2013-02-31" packs
+      as Feb 28), while out-of-grammar months/days ("2013-13-01")
+      reject;
+    - a timezone suffix shifts by the SIGNED OFFSET, ADDED — the
+      reference's toUTCTime `addUTCTime tz` with readTimeZone negating
+      only '-' (Date.hs:152-158,236-246): "…T12:00:00+02:00" packs as
+      14:00, the opposite of ISO-8601 UTC conversion, mirrored as-is;
+    - fractional seconds survive into the key with trailing zeros
+      dropped (show of Pico): "…T12:00:00.50" -> "…120000.5" — '.'
+      sorts below '0' so ordering still holds;
+    - the leap form "T24:00:00" without a zone renders as 23:59:60
+      (Haskell timeToTimeOfDay on dayTime >= 24h); with any zone,
+      addUTCTime normalizes it into the next day first.
+
+    Shifts that leave [0001-01-01, 9999-12-31] reject (datetime's
+    domain; the reference's year-0 handling is declared broken in its
+    own comments)."""
+    s = tok or ""
+    m = None
+    for rx in _DATE_FORMS:
+        m = rx.fullmatch(s)
         if m:
-            digits = "".join(m.groups())
-            if ngroups == 1:
-                digits += "0101"
-            elif ngroups == 2:
-                digits += "01"
-            return digits.ljust(14, "0")
-    for rx, pack in _DATE_PARTIAL_RES:
-        m = rx.fullmatch(tok or "")
-        if m:
-            return pack(m).ljust(14, "0")
-    return None
+            break
+    else:
+        return None
+    g = m.groupdict()
+    y = int(g.get("y") or 1)
+    mo = int(g.get("mo") or 1)
+    d = int(g.get("d") or 1)
+    d = min(d, _calendar.monthrange(y, mo)[1])  # fromGregorian clips
+    frac = ""
+    if g.get("h24") is not None:
+        secs = 86400
+    else:
+        secs = (
+            int(g.get("h") or 0) * 3600
+            + int(g.get("mi") or 0) * 60
+            + int(g.get("s") or 0)
+        )
+        fr = g.get("fr")
+        if fr:
+            # DiffTime is Pico fixed point — fromRational floors at 12
+            # fraction digits (Data.Fixed), i.e. truncate-then-strip
+            fd = fr[1:13].rstrip("0")
+            frac = "." + fd if fd else ""
+    if g.get("tzz"):
+        off, has_tz = 0, True
+    elif g.get("tzsign"):
+        off = int(g["tzh"]) * 3600 + int(g["tzm"]) * 60
+        if g["tzsign"] == "-":
+            off = -off
+        has_tz = True
+    else:
+        off, has_tz = 0, False
+    if not has_tz and secs == 86400:
+        return f"{y:04d}{mo:02d}{d:02d}235960"
+    try:
+        dt = _datetime.datetime(y, mo, d) + _datetime.timedelta(
+            seconds=secs + off
+        )
+    except (OverflowError, ValueError):
+        return None  # shifted outside year 1..9999
+    return (
+        f"{dt.year:04d}{dt.month:02d}{dt.day:02d}"
+        f"{dt.hour:02d}{dt.minute:02d}{dt.second:02d}" + frac
+    )
 
 
 _GEO_RE = re.compile(r"(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)")
@@ -391,6 +460,115 @@ def canonical_ctype(ctype: str) -> str:
     return CTYPE_ALIASES.get(ctype, ctype)
 
 
+# JVM twin of the _DATE_FORMS grammar: same patterns with positional
+# groups (Java regex has no (?P<>) syntax). Group maps index into each
+# pattern's capture groups.
+_J_TZ = r"(Z|[+-](?:0[0-9]|1[0-3]):[0-5][0-9])?"
+_J_Y = r"([0-9]{4})"
+_J_MO = r"(0[1-9]|1[0-2])"
+_J_D = r"(0[1-9]|[12][0-9]|3[01])"
+_J_HMS = (
+    r"(?:([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9])(\.[0-9]+)?"
+    r"|(24:00:00)(?:\.0+)?)"
+)
+_J_DATE_FORMS = [
+    (
+        rf"{_J_Y}-{_J_MO}-{_J_D}T{_J_HMS}{_J_TZ}",
+        dict(y=1, mo=2, d=3, h=4, mi=5, s=6, fr=7, h24=8, tz=9),
+    ),
+    (rf"{_J_Y}-{_J_MO}-{_J_D}{_J_TZ}", dict(y=1, mo=2, d=3, tz=4)),
+    (rf"{_J_Y}-{_J_MO}{_J_TZ}", dict(y=1, mo=2, tz=3)),
+    (rf"{_J_Y}{_J_TZ}", dict(y=1, tz=2)),
+    (rf"--{_J_MO}-{_J_D}{_J_TZ}", dict(mo=1, d=2, tz=3)),
+    (rf"--{_J_MO}{_J_TZ}", dict(mo=1, tz=2)),
+    (rf"---{_J_D}{_J_TZ}", dict(d=1, tz=2)),
+]
+_TS_MIN = "0001-01-01 00:00:00"
+_TS_MAX = "9999-12-31 23:59:59"
+
+
+def _date_form_value(t: Column, pat: str, gmap: dict[str, int]) -> Column:
+    """Packed key for one date form, exactly date_norm_py's arithmetic
+    as a Catalyst expression: calendar clip (least vs last_day), one
+    midnight make_timestamp_ntz + timestampadd of time-of-day plus the
+    reference's signed-ADD tz offset, date_format repack, fraction
+    appended with trailing zeros dropped. NULL (dropped) when the
+    shift leaves year 1..9999, matching the python twin."""
+    full = "^" + pat + "$"
+
+    def ex(key: str) -> Column | None:
+        gi = gmap.get(key)
+        return F.regexp_extract(t, full, gi) if gi else None
+
+    def num(key: str, default: int) -> Column:
+        e = ex(key)
+        if e is None:
+            return F.lit(default)
+        return F.when(e == F.lit(""), F.lit(default)).otherwise(e.cast("int"))
+
+    y, mo = num("y", 1), num("mo", 1)
+    d = F.least(
+        num("d", 1), F.dayofmonth(F.last_day(F.make_date(y, mo, F.lit(1))))
+    )
+    h24e = ex("h24")
+    is24 = (h24e != F.lit("")) if h24e is not None else F.lit(False)
+    secs = F.when(is24, F.lit(86400)).otherwise(
+        num("h", 0) * 3600 + num("mi", 0) * 60 + num("s", 0)
+    )
+    tze = ex("tz")
+    has_tz = tze != F.lit("")
+    off_mag = (
+        F.substring(tze, 2, 2).cast("int") * 3600
+        + F.substring(tze, 5, 2).cast("int") * 60
+    )
+    off = (
+        F.when(~has_tz | (tze == F.lit("Z")), F.lit(0))
+        .when(F.substring(tze, 1, 1) == F.lit("-"), -off_mag)
+        .otherwise(off_mag)
+    )
+    fre = ex("fr")
+    if fre is not None:
+        # DiffTime is Pico-resolution fixed point: fromRational floors
+        # at 12 fraction digits (Data.Fixed), so the key keeps at most
+        # the first 12
+        fd = F.regexp_replace(F.substring(fre, 2, 12), "0+$", "")
+        frac = F.when(
+            (fre == F.lit("")) | (fd == F.lit("")), F.lit("")
+        ).otherwise(F.concat(F.lit("."), fd))
+    else:
+        frac = F.lit("")
+    ts = F.timestamp_add(
+        "SECOND",
+        secs + off,
+        F.make_timestamp_ntz(y, mo, d, F.lit(0), F.lit(0), F.lit(0)),
+    )
+    in_range = (ts >= F.lit(_TS_MIN).cast("timestamp_ntz")) & (
+        ts <= F.lit(_TS_MAX).cast("timestamp_ntz")
+    )
+    leap_key = F.concat(
+        F.lpad(y.cast("string"), 4, "0"),
+        F.lpad(mo.cast("string"), 2, "0"),
+        F.lpad(d.cast("string"), 2, "0"),
+        F.lit("235960"),
+    )
+    return F.when(is24 & ~has_tz, leap_key).when(
+        in_range, F.concat(F.date_format(ts, "yyyyMMddHHmmss"), frac)
+    )
+
+
+def _date_norm_expr(t: Column) -> Column:
+    """date_norm_py as a pure-JVM CASE over the safeDateReaders form
+    list — first matching form wins, unmatched tokens go NULL and are
+    dropped by the array filter (parity pinned by a hypothesis
+    property in tests/test_typed_contexts.py)."""
+    expr: Column | None = None
+    for pat, gmap in _J_DATE_FORMS:
+        cond = t.rlike("^" + pat + "$")
+        val = _date_form_value(t, pat, gmap)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
+
+
 def normalize_context_col(
     col: Column | str, ctype: str, scan_regex: str | None = None
 ) -> Column:
@@ -448,56 +626,10 @@ def normalize_context_col(
             ),
         )
     elif ctype == "date":
-        # partial dates expand to Jan-1 / day-1 midnight like the
-        # python twin (reference readAnyDateM toUTC defaults)
-        mapped = F.transform(
-            toks,
-            lambda t: F.when(
-                t.rlike(r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$"),
-                F.rpad(F.regexp_replace(t, r"[^0-9]", ""), 14, "0"),
-            )
-            .when(
-                t.rlike(r"^\d{4}-\d{2}$"),
-                F.rpad(
-                    F.concat(F.regexp_replace(t, r"[^0-9]", ""), F.lit("01")),
-                    14, "0",
-                ),
-            )
-            .when(
-                t.rlike(r"^\d{4}$"),
-                F.rpad(F.concat(t, F.lit("0101")), 14, "0"),
-            )
-            # year-less xsd forms, year-1 defaults (readMonthDayS etc.)
-            .when(
-                t.rlike(r"^--\d{2}-\d{2}$"),
-                F.rpad(
-                    F.concat(
-                        F.lit("0001"), F.regexp_replace(t, r"[^0-9]", "")
-                    ),
-                    14, "0",
-                ),
-            )
-            .when(
-                t.rlike(r"^---\d{2}$"),
-                F.rpad(
-                    F.concat(
-                        F.lit("000101"), F.regexp_replace(t, r"[^0-9]", "")
-                    ),
-                    14, "0",
-                ),
-            )
-            .when(
-                t.rlike(r"^--\d{2}$"),
-                F.rpad(
-                    F.concat(
-                        F.lit("0001"),
-                        F.regexp_replace(t, r"[^0-9]", ""),
-                        F.lit("01"),
-                    ),
-                    14, "0",
-                ),
-            ),
-        )
+        # the full readAnyDateM form set incl. tz shifts, calendar
+        # clipping, fractional seconds and the 24:00:00 leap render —
+        # one CASE expression per safeDateReaders entry (_date_norm_expr)
+        mapped = F.transform(toks, _date_norm_expr)
     elif ctype == "geo":
         # the Arrow kernel whitespace-splits internally; a scan override
         # pre-extracts the matches (lat-lon tokens carry no spaces, so

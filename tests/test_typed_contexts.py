@@ -107,6 +107,110 @@ def test_date_yearless_xsd_forms(spark):
     ]
 
 
+def test_date_tz_reference_pins():
+    """Timezone suffixes shift by the reference's signed-ADD semantics
+    (Normalize/Date.hs toUTCTime `addUTCTime tz`, Date.hs:152-158, with
+    readTimeZone negating only '-', Date.hs:236-246) — the opposite
+    direction of ISO-8601 UTC conversion, mirrored exactly."""
+    assert date_norm_py("2013-01-01T12:00:00+02:00") == "20130101140000"
+    assert date_norm_py("2013-01-01T12:00:00-02:00") == "20130101100000"
+    assert date_norm_py("2013-01-01T12:00:00Z") == "20130101120000"
+    # tz on date-only and partial forms (rexDates puts tz on every form)
+    assert date_norm_py("2013-01-01Z") == "20130101000000"
+    assert date_norm_py("2013-01-01-05:00") == "20121231190000"  # crosses midnight
+    assert date_norm_py("2013+05:30") == "20130101053000"
+    assert date_norm_py("--12-25-05:00") == "00011224190000"
+    # tz hour capped at 13 (h13, Date.hs:190-192); the "+14:00:00"
+    # alternative crashes the reference's readTimeZone, so reject
+    assert date_norm_py("2013-01-01+14:00") is None
+    assert date_norm_py("2013-01-01+13:59") == "20130101135900"
+    # shifts leaving year 1..9999 reject (no year-0 support upstream)
+    assert date_norm_py("0001-01-01-00:01") is None
+    assert date_norm_py("9999-12-31T23:59:59+13:59") is None
+
+
+def test_date_calendar_clip_and_grammar_bounds():
+    # fromGregorian clips out-of-calendar days (Date.hs:253-260 via
+    # Data.Time); out-of-grammar months/days are not dates at all
+    assert date_norm_py("2013-02-31") == "20130228000000"
+    assert date_norm_py("2012-02-31") == "20120229000000"  # leap year
+    assert date_norm_py("2013-13-01") is None
+    assert date_norm_py("2013-00-01") is None
+    assert date_norm_py("2013-01-32") is None
+    assert date_norm_py("2013-01-01T25:00:00") is None
+
+
+def test_date_leap_and_fraction_pins():
+    # hms admits the literal 24:00:00 (Date.hs:186-187); without a
+    # zone, show renders dayTime>=24h as leap second 23:59:60
+    # (timeToTimeOfDay); with one, addUTCTime normalizes to next day
+    assert date_norm_py("2013-01-01T24:00:00") == "20130101235960"
+    assert date_norm_py("2013-01-01T24:00:00Z") == "20130102000000"
+    assert date_norm_py("2013-01-01T24:00:00+01:00") == "20130102010000"
+    assert date_norm_py("2013-01-01T24:00:01") is None
+    # fractional seconds survive into the key, trailing zeros dropped
+    # (show of Pico); '.' < '0' keeps the key order chronological
+    assert date_norm_py("2013-01-01T12:00:00.5") == "20130101120000.5"
+    assert date_norm_py("2013-01-01T12:00:00.50") == "20130101120000.5"
+    assert date_norm_py("2013-01-01T12:00:00.0") == "20130101120000"
+    assert date_norm_py("2013-01-01T12:00:00.05+01:00") == "20130101130000.05"
+    assert (
+        date_norm_py("2013-01-01T12:00:00")
+        < date_norm_py("2013-01-01T12:00:00.5")
+        < date_norm_py("2013-01-01T12:00:01")
+    )
+
+
+_DATE_TOKEN_ST = st.one_of(
+    # well-formed-ish assemblies around the grammar's edges
+    st.builds(
+        lambda y, mo, d, t, z: f"{y:04d}-{mo:02d}-{d:02d}{t}{z}",
+        st.integers(1, 9999),
+        st.integers(0, 13),
+        st.integers(0, 32),
+        st.sampled_from(
+            ["", "T12:30:45", "T23:59:59", "T24:00:00", "T00:00:00.25",
+             "T12:00:00.500", "T25:00:00"]
+        ),
+        st.sampled_from(["", "Z", "+02:00", "-05:30", "+13:59", "+14:00"]),
+    ),
+    st.builds(
+        lambda mo, d, z: f"--{mo:02d}-{d:02d}{z}",
+        st.integers(0, 13), st.integers(0, 32),
+        st.sampled_from(["", "Z", "-01:00"]),
+    ),
+    st.sampled_from(
+        ["2013", "2013Z", "2013-06", "2013-06+01:00", "--12", "---25",
+         "--12Z", "---25-13:00", "junk", "2013-1-1", "20130101"]
+    ),
+)
+
+
+@given(st.lists(_DATE_TOKEN_ST, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_date_norm_jvm_python_parity(tokens):
+    """_date_norm_expr (Catalyst) == date_norm_py on generated tokens
+    spanning every form, the tz/leap/fraction edges, and rejects."""
+    spark = test_date_norm_jvm_python_parity._spark
+    from hunt_spark.functions.analysis import normalize_context_col
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "d string")
+    got = df.select(
+        normalize_context_col(F.col("d"), "date").alias("n")
+    ).first()["n"]
+    want = [k for t in tokens if (k := date_norm_py(t)) is not None]
+    assert got.split() == want, tokens
+
+
+@pytest.fixture(autouse=True)
+def _attach_spark_for_parity(spark):
+    # hypothesis wraps the test, so the fixture can't be a parameter;
+    # stash the session on the function instead
+    test_date_norm_jvm_python_parity._spark = spark
+    yield
+
+
 @given(
     st.integers(-89 * 10**7, 89 * 10**7),
     st.integers(-179 * 10**7, 179 * 10**7),
