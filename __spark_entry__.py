@@ -318,6 +318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_date_regex_scan": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("logline:[2001-02-01 TO 2010-10-10]"),
+        # datetime+timezone range endpoints (reference word lexeme:
+        # ':' is a word char, Grammar.hs:229; endpoint normalization
+        # applies the toUTCTime signed-ADD shift, Date.hs:152-158):
+        # 1995-06-06 is a populated date (doc_id ≡ 5 mod 420), and the
+        # +00:30 lower bound lands past its midnight keys, excluding
+        # docs the bare-date bound would include
+        "idx_date_tz_range": lambda spark, sf_dir: _typed_engine(
+            spark, sf_dir
+        ).select("date:[1995-06-06T00:00:00+00:30 TO 2009-06-15T00:00:00Z]"),
         "idx_geo_rect": lambda spark, sf_dir: _typed_engine(
             spark, sf_dir
         ).select("pos:[10.0-20.0 TO 49.9-99.9]"),
@@ -920,6 +929,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (1990 + (doc_id * 3) % 30) * 10000 "
             "+ (1 + (doc_id * 5) % 12) * 100 "
             "+ (1 + (doc_id * 7) % 28) BETWEEN 20010201 AND 20101010"
+        ),
+        # the +00:30 tz shift on the lower endpoint moves it past
+        # midnight, so 1995-06-06 itself (a populated date) is
+        # excluded — keys are packed at midnight; the Z upper bound is
+        # a no-op shift
+        "idx_date_tz_range": (
+            "SELECT doc_id FROM documents "
+            "WHERE (1990 + doc_id % 30) * 10000 + (1 + doc_id % 12) * 100 "
+            "+ (1 + doc_id % 28) BETWEEN 19950607 AND 20090615"
         ),
         "idx_geo_rect": (
             "SELECT doc_id FROM documents "

@@ -31,15 +31,33 @@ class ParseError(ValueError):
 
 
 class _Lexer:
+    """Token stream with adjacency: the reference's word lexeme is
+    ``many1 (noneOf notWordChar)`` where notWordChar is only
+    ``\\ " ' ) ( [ ] ^`` and whitespace (Grammar.hs:229) — ':' and ','
+    ARE word characters there, carved out of a word only when a
+    context-spec parse succeeds (Parser.hs:148-159 backtracks into the
+    plain word otherwise). We still emit ':'/',' as tokens (the
+    context path needs them, with spaces allowed), but record whether
+    each token was GLUED to its predecessor so the parser can
+    reassemble a glued run back into the reference's single word
+    (datetime range endpoints, URLs, "bar:baz" after a context)."""
+
     def __init__(self, s: str):
         self.s = s
         self.i = 0
         self.toks: list[tuple[str, str]] = []
+        self._glue: list[bool] = []
         self._lex()
         self.p = 0
 
+    def _append(self, tok: tuple[str, str], start: int, end: int) -> None:
+        self.toks.append(tok)
+        self._glue.append(start == self._prev_end)
+        self._prev_end = end
+
     def _lex(self) -> None:
         s, n = self.s, len(self.s)
+        self._prev_end = -1
         i = 0
         while i < n:
             c = s[i]
@@ -47,7 +65,7 @@ class _Lexer:
                 i += 1
                 continue
             if c in "()[]^:,":
-                self.toks.append((c, c))
+                self._append((c, c), i, i + 1)
                 i += 1
                 continue
             if c in "\"'":
@@ -61,7 +79,11 @@ class _Lexer:
                         j += 1
                 if j >= n:
                     raise ParseError(f"unterminated {quote} at {i}")
-                self.toks.append(("PHRASE" if quote == '"' else "QWORD", "".join(buf)))
+                self._append(
+                    ("PHRASE" if quote == '"' else "QWORD", "".join(buf)),
+                    i,
+                    j + 1,
+                )
                 i = j + 1
                 continue
             # bare word (with escapes)
@@ -77,14 +99,19 @@ class _Lexer:
             word = "".join(buf)
             kw = word.upper()
             if kw in ("AND", "OR", "NOT", "NEAR", "FOLLOW", "TO") or word == "++":
-                self.toks.append((kw if word != "++" else "++", word))
+                self._append((kw if word != "++" else "++", word), i, j)
             else:
-                self.toks.append(("WORD", word))
+                self._append(("WORD", word), i, j)
             i = j
-        self.toks.append(("EOF", ""))
+        self._append(("EOF", ""), n + 1, n + 1)
 
     def peek(self, k: int = 0) -> tuple[str, str]:
         return self.toks[min(self.p + k, len(self.toks) - 1)]
+
+    def glued(self, k: int = 0) -> bool:
+        """True when token p+k starts exactly where its predecessor
+        ended (no intervening whitespace)."""
+        return self._glue[min(self.p + k, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
         t = self.peek()
@@ -142,7 +169,7 @@ def _near_expr(lx):
     return left
 
 
-_PRIMARY_START = ("WORD", "PHRASE", "QWORD", "(", "[")
+_PRIMARY_START = ("WORD", "PHRASE", "QWORD", "(", "[", ":", ",")
 
 
 def _juxt_expr(lx):
@@ -171,7 +198,52 @@ def _word_op(w: str) -> tuple[str, str]:
     return w, "nocase"
 
 
+# the reference's context name: many1 (alphaNum <|> '_')
+# (Parser.hs:289-293) — anything else before ':' stays a word char
+_CX_NAME_RE = re.compile(r"\w+")
+
+# token kinds whose characters are word chars in the reference lexeme
+# (Grammar.hs:229): a glued run of these is ONE word there
+_WORD_GLUE_KINDS = ("WORD", ":", ",", "TO", "AND", "OR", "NOT", "NEAR",
+                    "FOLLOW", "++")
+
+
+def _reassemble_word(lx) -> str:
+    """Consume a maximal glued run of word-char tokens into the single
+    word the reference lexer would have produced ("2013-01-01T00:00:00",
+    "http://x.org", "bar:baz") — ':'/',' only leave a word via a
+    successful context-spec parse, which the callers try first."""
+    parts = [lx.next()[1]]
+    while lx.peek()[0] in _WORD_GLUE_KINDS and lx.glued():
+        parts.append(lx.next()[1])
+    return "".join(parts)
+
+
 def _primary(lx):
+    # context restriction (Parser.hs:148-159): cx[,cx2]*:primary with
+    # [alphaNum_]+ names; on any mismatch the reference backtracks and
+    # the colon/comma chars fall back into the word
+    kind, val = lx.peek()
+    if kind == "WORD" and _CX_NAME_RE.fullmatch(val):
+        cxs, k, ok = [val], 1, True
+        while lx.peek(k)[0] == ",":
+            nk, nv = lx.peek(k + 1)
+            if nk != "WORD" or not _CX_NAME_RE.fullmatch(nv):
+                ok = False
+                break
+            cxs.append(nv)
+            k += 2
+        if ok and lx.peek(k)[0] == ":":
+            for _ in range(k + 1):
+                lx.next()
+            # primaryQuery (Parser.hs:161-171) has no context branch —
+            # "foo:bar:baz" is context foo over the WORD "bar:baz";
+            # nesting needs parens
+            return QContext(tuple(cxs), _primary_nocx(lx))
+    return _primary_nocx(lx)
+
+
+def _primary_nocx(lx):
     kind, val = lx.peek()
     if kind == "(":
         lx.next()
@@ -180,9 +252,13 @@ def _primary(lx):
         return q
     if kind == "[":
         lx.next()
-        lo = lx.expect("WORD")
+        if lx.peek()[0] != "WORD":
+            raise ParseError(f"expected WORD, got {lx.peek()[0]}")
+        lo = _reassemble_word(lx)
         lx.expect("TO")
-        hi = lx.expect("WORD")
+        if lx.peek()[0] != "WORD":
+            raise ParseError(f"expected WORD, got {lx.peek()[0]}")
+        hi = _reassemble_word(lx)
         lx.expect("]")
         return QRange(lo, hi)
     if kind == "PHRASE":
@@ -191,20 +267,11 @@ def _primary(lx):
     if kind == "QWORD":
         lx.next()
         return QFullWord(val, "nocase")
-    if kind == "WORD":
-        # context restriction lookahead: cx[,cx2]*:primary
-        cxs, k = [val], 1
-        while lx.peek(k)[0] == ",":
-            if lx.peek(k + 1)[0] != "WORD":
-                break
-            cxs.append(lx.peek(k + 1)[1])
-            k += 2
-        if lx.peek(k)[0] == ":":
-            for _ in range(k + 1):
-                lx.next()
-            return QContext(tuple(cxs), _primary(lx))
-        lx.next()
-        w, op = _word_op(val)
+    if kind in ("WORD", ":", ","):
+        # a word may START with ':'/',' in the reference (word chars,
+        # Grammar.hs:229) — e.g. "a : b" is three words there
+        word = _reassemble_word(lx)
+        w, op = _word_op(word)
         if not w:
             # '!' / '~' as a standalone token before the operand — the
             # reference accepts whitespace here (" ! test" -> case word,
@@ -215,7 +282,9 @@ def _primary(lx):
                     QPhrase(val2, op) if kind2 == "PHRASE" else QFullWord(val2, op)
                 )
             if op != "nocase" and lx.peek()[0] == "WORD":
-                sub = _primary(lx)
+                # caseQuery/fuzzyQuery operands are word forms only
+                # (Parser.hs:192-206) — never a context
+                sub = _primary_nocx(lx)
                 if isinstance(sub, QWord):
                     return QWord(sub.word, op)
                 if isinstance(sub, QPhrase):

@@ -231,3 +231,44 @@ def _norm(q):
     if isinstance(q, QBoost):
         return QBoost(q.weight, _norm(q.query))
     return q
+
+
+# ---------------------------------------------------------------------------
+# word-lexeme parity: ':' and ',' are word characters in the reference
+# (Grammar.hs:229 notWordChar), carved out only by a successful
+# context-spec parse (Parser.hs:148-159 `try contextSpec`), whose
+# names are many1 (alphaNum <|> '_') (Parser.hs:289-293)
+# ---------------------------------------------------------------------------
+
+COLON_WORD_CASES = [
+    # datetime/timezone range endpoints parse whole
+    (
+        "when:[2013-01-01T00:00:00+02:00 TO 2014]",
+        QContext(("when",), QRange("2013-01-01T00:00:00+02:00", "2014")),
+    ),
+    # a word whose alnum prefix is NOT followed by ':' keeps its colons
+    ("2013-01-01T12:00:00", QWord("2013-01-01T12:00:00", "nocase")),
+    # primaryQuery has no context branch: after a context spec the
+    # rest is one word, colons included (Parser.hs:161-171)
+    ("foo:bar:baz", QContext(("foo",), QWord("bar:baz", "nocase"))),
+    # a non-[alnum_] "name" before ':' backtracks into the word
+    ("a-b:q", QWord("a-b:q", "nocase")),
+    # the reference's context parser happily takes a digit-run name
+    ("12:30", QContext(("12",), QWord("30", "nocase"))),
+    # URL: scheme parses as a context (exactly what parsec does)
+    ("http://x.org", QContext(("http",), QWord("//x.org", "nocase"))),
+    # '!' binds after the (failed) context try: one case word
+    ("!foo:bar", QWord("foo:bar", "case")),
+    ("! foo:bar", QWord("foo:bar", "case")),
+    # spaces are allowed around ':' and ',' in a context spec
+    ("a , b : w", QContext(("a", "b"), QWord("w", "nocase"))),
+    # ',' without a following ':' is a word char too
+    ("a,b", QWord("a,b", "nocase")),
+    # a word may start with ':' (still just a word char)
+    (":foo", QWord(":foo", "nocase")),
+]
+
+
+@pytest.mark.parametrize("text,want", COLON_WORD_CASES)
+def test_colon_word_lexeme_parity(text, want):
+    assert parse_query(text) == want
