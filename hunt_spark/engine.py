@@ -662,16 +662,27 @@ class HuntEngine:
         ids are anti-joined out and fresh postings appended in one new
         base snapshot (a tombstone cannot express 'old rows only': it
         would also kill the re-inserted doc_id). On Iceberg this is
-        MERGE INTO, rewriting only the matching files."""
+        MERGE INTO, rewriting only the matching files.
+
+        A description-only update (empty ``context_cols`` — the
+        hunt-test/doc-update golden workflow) leaves the postings
+        untouched and merges metadata only, like modifyWithDescription
+        with empty Words."""
         self._check_contexts(context_cols)
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         ids = docs.select("doc_id")
-        new_p = postings_from_contexts(docs, context_cols, self.cfg)
-        merged = self._postings().join(ids, "doc_id", "left_anti").unionByName(new_p)
-        self.catalog.commit(
-            merged, "postings", "update/postings",
-            partition_by=["context", "shard"], sort_within_by=["term_lc", "doc_id"],
-        )
+        if context_cols:
+            new_p = postings_from_contexts(docs, context_cols, self.cfg)
+            merged = (
+                self._postings()
+                .join(ids, "doc_id", "left_anti")
+                .unionByName(new_p)
+            )
+            self.catalog.commit(
+                merged, "postings", "update/postings",
+                partition_by=["context", "shard"],
+                sort_within_by=["term_lc", "doc_id"],
+            )
         old = self.doc_meta()
         if "description" not in old.columns:
             old = old.withColumn(

@@ -237,7 +237,11 @@ class HuntServer:
         if not isinstance(j, dict) or "uri" not in j:
             raise HuntApiError(400, "ApiDocument needs a uri")
         desc = {
-            k: v if isinstance(v, str) else json.dumps(v)  # FV_Json convention
+            # FV_Json convention for non-string values; null stays None —
+            # insert DROPS null-valued keys (Interpreter.hs:462
+            # deleteNull) while update treats them as delete markers
+            # (ContextIndex.hs:347 merge-then-deleteNull)
+            k: v if isinstance(v, str) or v is None else json.dumps(v)
             for k, v in (j.get("description") or {}).items()
         }
         return {
@@ -269,6 +273,17 @@ class HuntServer:
         return df, {cx: F.col(f"`{cx}`") for cx in contexts}
 
     def _insert_docs(self, docs: list[dict]) -> None:
+        # null-valued description keys are dropped at insert
+        # (Interpreter.hs:462 applies deleteNull to the incoming doc)
+        docs = [
+            {
+                **d,
+                "description": {
+                    k: v for k, v in d["description"].items() if v is not None
+                },
+            }
+            for d in docs
+        ]
         df, cx = self._docs_frame(docs)
         try:
             self.engine.insert(df, cx)
