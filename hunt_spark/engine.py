@@ -204,15 +204,12 @@ class HuntEngine:
                 avg_dl={r["context"]: r["avg_dl"] for r in cstats},
                 context_weights=self.cfg.context_weights,
             )
-            from hunt_spark.functions.analysis import (
-                CONTEXT_NORMS_PY,
-                canonical_ctype,
-            )
+            from hunt_spark.functions.analysis import context_norm_py
 
             norms = {
-                cx: CONTEXT_NORMS_PY[canonical_ctype(t)]
+                cx: f
                 for cx, t in self.cfg.context_types.items()
-                if canonical_ctype(t) in CONTEXT_NORMS_PY
+                if (f := context_norm_py(t)) is not None
             }
             self._compiler = QueryCompiler(
                 self._postings(),
@@ -743,14 +740,16 @@ class HuntEngine:
         scan override (Schema.hs:77-92) — None scans with the type
         default. Duplicate registration fails, mirroring the reference
         (InterpreterTests 'inserting a context twice')."""
-        from hunt_spark.functions.analysis import KNOWN_CTYPES
+        from hunt_spark.functions.analysis import is_known_ctype
 
         # the full reference default set (Interpreter.hs:185
         # contextTypes): text, text-small, int, date, position,
-        # position-rtree — plus the rebuild's native "geo" name.
-        # Declared names are kept on the schema surface; storage and
-        # planning canonicalize (position/position-rtree -> geo).
-        if ctype not in KNOWN_CTYPES:
+        # position-rtree — plus the rebuild's native "geo" name and
+        # any registered ContextTypePlugin (the open CType set,
+        # extended-hunt Main.hs:65-71). Declared names are kept on the
+        # schema surface; storage and planning canonicalize
+        # (position/position-rtree -> geo).
+        if not is_known_ctype(ctype):
             raise ValueError(f"unknown context type {ctype!r}")
         if regex is not None:
             import re as _re

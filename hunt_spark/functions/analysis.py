@@ -454,6 +454,63 @@ CTYPE_ALIASES = {"position": "geo", "position-rtree": "geo"}
 KNOWN_CTYPES = ("text", "text-small", "int", "date", "geo") + tuple(CTYPE_ALIASES)
 
 
+class ContextTypePlugin:
+    """A user-defined context type — the reference's open ContextType
+    set (CType, Schema.hs:104-122; a Hunt instance is configured with a
+    LIST of types, Interpreter.hs:185, and hunt-demos/extended-hunt/
+    src/Main.hs:65-71 plugs a custom "realInt" CType into it).
+
+    The rebuild's equivalent of ctIxImpl is the normalized key layout:
+    ``norm_expr`` maps the raw text Column to the space-joined stream of
+    validated+normalized keys (same contract as the built-in types —
+    drop invalid tokens, make the key order mirror the type's semantic
+    order so lookupRange works), and ``norm_py`` is its per-token
+    python twin for query words and range endpoints. ``scan_regex`` is
+    the type's default ctRegEx (overridable per context via cxRegEx).
+
+    Like the demo's custom type (which must be compiled into the
+    binary), plugins are process-level: an index whose schema names a
+    plugin type must have it registered before reopening."""
+
+    def __init__(
+        self,
+        name: str,
+        norm_expr,
+        norm_py,
+        scan_regex: str | None = None,
+    ):
+        self.name = name
+        self.norm_expr = norm_expr
+        self.norm_py = norm_py
+        self.scan_regex = scan_regex
+
+
+CONTEXT_TYPE_REGISTRY: dict[str, ContextTypePlugin] = {}
+
+
+def register_context_type(plugin: ContextTypePlugin) -> None:
+    """Register a custom context type under its ctName. Built-in names
+    are reserved; duplicate registration replaces (re-running a config
+    script must be idempotent)."""
+    if plugin.name in KNOWN_CTYPES:
+        raise ValueError(f"context type {plugin.name!r} is built in")
+    CONTEXT_TYPE_REGISTRY[plugin.name] = plugin
+
+
+def is_known_ctype(ctype: str) -> bool:
+    return ctype in KNOWN_CTYPES or ctype in CONTEXT_TYPE_REGISTRY
+
+
+def context_norm_py(ctype: str):
+    """Per-token query-side normalizer for a typed context (None for
+    text types): built-ins from CONTEXT_NORMS_PY, then plugins."""
+    ct = canonical_ctype(ctype)
+    if ct in CONTEXT_NORMS_PY:
+        return CONTEXT_NORMS_PY[ct]
+    p = CONTEXT_TYPE_REGISTRY.get(ct)
+    return p.norm_py if p is not None else None
+
+
 def canonical_ctype(ctype: str) -> str:
     """Collapse reference wire names onto the storage type that
     implements them (identity for the native names)."""
@@ -594,12 +651,18 @@ def normalize_context_col(
     c = F.col(col) if isinstance(col, str) else col
     if ctype == "text":
         return c
+    plugin = CONTEXT_TYPE_REGISTRY.get(ctype)
+    if plugin is not None and scan_regex is None:
+        # a plugin's declared ctRegEx is its type-default scan
+        scan_regex = plugin.scan_regex
     toks = (
         scan_tokens_col(c, scan_regex)
         if scan_regex is not None
         else F.split(c, r"\s+")
     )
-    if ctype == "int":
+    if plugin is not None:
+        mapped = plugin.norm_expr(toks)
+    elif ctype == "int":
         mapped = F.transform(
             toks,
             lambda t: F.when(
@@ -638,7 +701,12 @@ def normalize_context_col(
             F.array_join(toks, " ") if scan_regex is not None else c
         )
     else:
-        raise ValueError(f"unknown context type {ctype!r}")
+        raise ValueError(
+            f"unknown context type {ctype!r} — custom types must be "
+            "registered via register_context_type before (re)opening "
+            "the index (the extended-hunt model: the custom CType is "
+            "compiled into the binary, hunt-demos Main.hs:65-71)"
+        )
     return F.array_join(F.filter(mapped, lambda x: x.isNotNull()), " ")
 
 
