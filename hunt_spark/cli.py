@@ -9,6 +9,8 @@ make-insert / from-csv; `server` maps to scripts/serve_index.py).
     python -m hunt_spark.cli make-schema FILE           # docs -> insert-context cmds
     python -m hunt_spark.cli make-insert FILE           # docs -> insert Sequence
     python -m hunt_spark.cli from-csv FILE              # csv -> ApiDocument list
+    python -m hunt_spark.cli parse QUERY                # text query -> Query JSON
+                                                        # (the cli-query-parser demo)
 
 Pure stdlib (urllib) on purpose: the CLI must work anywhere the server
 does, with no Spark on the client side. All output is pretty-printed
@@ -155,6 +157,20 @@ def cmd_from_csv(args) -> list[dict]:
     ]
 
 
+def cmd_parse(args) -> dict:
+    """Text query -> structured Query JSON (the cli-query-parser demo,
+    hunt-demos/cli-query-parser/src/Main.hs:16-29: parseQuery then
+    encodePretty; invalid input reports 'Invalid input: <err>'). Offline
+    — the same wire shape POST /eval accepts as {"cmd":"search"}."""
+    from hunt_spark.plans.ast import query_to_json
+    from hunt_spark.plans.parser import ParseError, parse_query
+
+    try:
+        return query_to_json(parse_query(args.query))
+    except ParseError as e:
+        raise CliError(f"Invalid input: {e}") from e
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="hunt_spark.cli",
@@ -199,6 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("from-csv", help="Convert CSV to JSON and print the result")
     p.add_argument("file", metavar="FILE")
     p.set_defaults(fn=cmd_from_csv)
+
+    p = sub.add_parser(
+        "parse", help="Parse a text query and print its JSON wire form"
+    )
+    p.add_argument("query", metavar="QUERY")
+    p.set_defaults(fn=cmd_parse)
     return ap
 
 

@@ -137,3 +137,27 @@ def test_bad_json_file(capsys, tmp_path):
     f.write_text("{nope")
     rc, _, err = run_cli(capsys, "make-insert", str(f))
     assert rc == 1 and "JSON parsing failed" in err
+
+
+def test_parse_verb(capsys):
+    # the cli-query-parser demo (hunt-demos/cli-query-parser/Main.hs):
+    # text query -> pretty-printed Query JSON wire shape, offline
+    rc = cli_main(["parse", "when:[2013-01-01T00:00:00+02:00 TO 2014] AND !Brain"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    j = json.loads(out)
+    assert j["type"] == "seq" and j["op"] == "and"
+    # wire shapes per Grammar.hs ToJSON — round-trip through the parser
+    from hunt_spark.plans.ast import query_from_json
+    from hunt_spark.plans.parser import parse_query
+
+    assert query_from_json(j) == parse_query(
+        "when:[2013-01-01T00:00:00+02:00 TO 2014] AND !Brain"
+    )
+
+
+def test_parse_verb_invalid(capsys):
+    rc = cli_main(["parse", "a AND ("])
+    cap = capsys.readouterr()
+    assert rc == 1
+    assert "Invalid input:" in cap.err
