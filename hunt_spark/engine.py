@@ -154,29 +154,41 @@ class HuntEngine:
             self._doc_meta = m
         return self._doc_meta
 
-    def _schema(self) -> dict[str, tuple[str, float, str | None]] | None:
-        """Durable context registry {context: (ctype, weight, regex)} —
-        Hunt's ContextSchema, maintained by build and the Insert/
-        DeleteContext verbs (Interpreter/Command.hs:71-75); regex is the
-        cxRegEx scan override (Schema.hs:77-92), None for the type
-        default. None on pre-schema catalogs (contexts then derive from
-        context_stats); pre-regex snapshots read as regex=None."""
+    def _schema(
+        self,
+    ) -> dict[str, tuple[str, float, str | None, bool]] | None:
+        """Durable context registry {context: (ctype, weight, regex,
+        default)} — Hunt's ContextSchema, maintained by build and the
+        Insert/DeleteContext verbs (Interpreter/Command.hs:71-75);
+        regex is the cxRegEx scan override (Schema.hs:77-92), None for
+        the type default; default is cxDefault (Schema.hs:89 — False
+        excludes the context from unrestricted-query fan-out). None on
+        pre-schema catalogs (contexts then derive from context_stats);
+        older snapshots read as regex=None / default=True."""
         try:
             rows = self.catalog.read(self.spark, "schema").collect()
         except FileNotFoundError:
             return None
-        return {
-            r["context"]: (r["ctype"], r["weight"], r.asDict().get("regex"))
-            for r in rows
-        }
+        out = {}
+        for r in rows:
+            d = r.asDict()
+            dflt = d.get("cxdefault")
+            out[r["context"]] = (
+                r["ctype"],
+                r["weight"],
+                d.get("regex"),
+                True if dflt is None else bool(dflt),
+            )
+        return out
 
     def _commit_schema(
-        self, sch: dict[str, tuple[str, float, str | None]], key: str
+        self, sch: dict[str, tuple[str, float, str | None, bool]], key: str
     ) -> None:
         from hunt_spark.operators.build import schema_values_df
 
         rows = [
-            (cx, t, float(w), rx) for cx, (t, w, rx) in sorted(sch.items())
+            (cx, t, float(w), rx, bool(d))
+            for cx, (t, w, rx, d) in sorted(sch.items())
         ]
         self.catalog.commit(schema_values_df(self.spark, rows), "schema", key)
 
@@ -187,12 +199,13 @@ class HuntEngine:
         BuildConfig."""
         sch = self._schema()
         if sch is not None:
-            for cx, (t, w, rx) in sch.items():
+            for cx, (t, w, rx, d) in sch.items():
                 if t != "text":
                     self.cfg.context_types.setdefault(cx, t)
                 self.cfg.context_weights.setdefault(cx, w)
                 if rx is not None:
                     self.cfg.context_regexes.setdefault(cx, rx)
+                self.cfg.context_defaults.setdefault(cx, d)
         return sch
 
     def compiler(self) -> QueryCompiler:
@@ -219,6 +232,14 @@ class HuntEngine:
                 # a freshly inserted context may have no postings yet —
                 # the schema, not the stats, defines the context set
                 all_contexts=sorted(sch) if sch is not None else None,
+                # cxDefault fan-out filter (Processor.hs:189): queries
+                # without a context specifier reach only default
+                # contexts; explicit restriction reaches them all
+                default_contexts=(
+                    sorted(cx for cx, e in sch.items() if e[3])
+                    if sch is not None
+                    else None
+                ),
                 word_limit=self.word_limit,
                 doc_limit=self.doc_limit,
                 context_norms=norms,
@@ -372,7 +393,7 @@ class HuntEngine:
                 if wx is not None:
                     op, legs = shape
                     scored = wx.topk_candidates(
-                        op, legs, k + offset, c.all_contexts
+                        op, legs, k + offset, c.default_contexts
                     )
                 elif use_wand is True:
                     # state-dependent (not a query-shape) condition:
@@ -439,7 +460,7 @@ class HuntEngine:
         (a doc_id frame) restricts to words occurring in those docs —
         the filterByDocSet half of query completion."""
         c = self.compiler()
-        cxs = tuple(contexts) if contexts else c.all_contexts
+        cxs = tuple(contexts) if contexts else c.default_contexts
         if doc_filter is None:
             # plan-cached like search(): DataFrames are immutable plans,
             # re-executed per collect, invalidated on mutation
@@ -732,14 +753,17 @@ class HuntEngine:
         ctype: str = "text",
         weight: float = 1.0,
         regex: str | None = None,
+        default: bool = True,
     ) -> None:
         """Hunt InsertContext (Command.hs:71-73): register a new context
         in the schema at runtime — no rebuild; postings for it arrive
         through subsequent insert()/update() calls whose context_cols
         include the new context. ``regex`` is the ContextSchema cxRegEx
         scan override (Schema.hs:77-92) — None scans with the type
-        default. Duplicate registration fails, mirroring the reference
-        (InterpreterTests 'inserting a context twice')."""
+        default; ``default=False`` is cxDefault (Schema.hs:89) —
+        excluded from unrestricted-query fan-out. Duplicate
+        registration fails, mirroring the reference (InterpreterTests
+        'inserting a context twice')."""
         from hunt_spark.functions.analysis import is_known_ctype
 
         # the full reference default set (Interpreter.hs:185
@@ -761,13 +785,14 @@ class HuntEngine:
         sch = self._schema() or {}
         if name in sch:
             raise ValueError(f"context {name!r} already exists")
-        sch[name] = (ctype, float(weight), regex)
+        sch[name] = (ctype, float(weight), regex, bool(default))
         self._commit_schema(sch, f"insert_context/{name}")
         if ctype != "text":
             self.cfg.context_types[name] = ctype
         self.cfg.context_weights[name] = float(weight)
         if regex is not None:
             self.cfg.context_regexes[name] = regex
+        self.cfg.context_defaults[name] = bool(default)
         self._invalidate()
 
     @_mutating
@@ -792,6 +817,7 @@ class HuntEngine:
         self.cfg.context_types.pop(name, None)
         self.cfg.context_weights.pop(name, None)
         self.cfg.context_regexes.pop(name, None)
+        self.cfg.context_defaults.pop(name, None)
         self._refresh_stats()
 
     @_mutating

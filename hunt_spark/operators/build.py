@@ -77,6 +77,12 @@ class BuildConfig:
     # keep the whole-document extraction. Only meaningful with
     # extract_html=True.
     context_selectors: dict[str, str] = field(default_factory=dict)
+    # per-context default flag (ContextSchema cxDefault, Schema.hs:89):
+    # contexts marked False are excluded from queries WITHOUT a context
+    # specifier (Processor.hs:189 initProcessor filters the fan-out
+    # set); explicit "cx:..." restriction still reaches them. Absent =
+    # True, the reference default.
+    context_defaults: dict[str, bool] = field(default_factory=dict)
     # per-context scan-regex override (ContextSchema cxRegEx,
     # Schema.hs:77-92): tokens are the regex's matches in document
     # order (scanTextRE, empties dropped) instead of the default scan
@@ -408,7 +414,9 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     pure Catalyst."""
     if not rows:
         return spark.createDataFrame(
-            [], "context string, ctype string, weight double, regex string"
+            [],
+            "context string, ctype string, weight double, regex string, "
+            "cxdefault boolean",
         )
 
     def _lit(s: str | None) -> str:
@@ -419,14 +427,15 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
         return "'{}'".format(s.replace("\\", "\\\\").replace("'", "''"))
 
     vals = ", ".join(
-        "('{}', '{}', CAST({!r} AS DOUBLE), CAST({} AS STRING))".format(
-            cx.replace("'", "''"), t.replace("'", "''"), float(w), _lit(rx)
+        "('{}', '{}', CAST({!r} AS DOUBLE), CAST({} AS STRING), {})".format(
+            cx.replace("'", "''"), t.replace("'", "''"), float(w), _lit(rx),
+            "true" if d else "false",
         )
-        for cx, t, w, rx in rows
+        for cx, t, w, rx, d in rows
     )
     return spark.sql(
         f"SELECT col1 AS context, col2 AS ctype, col3 AS weight, "
-        f"col4 AS regex FROM VALUES {vals}"
+        f"col4 AS regex, col5 AS cxdefault FROM VALUES {vals}"
     ).coalesce(1)
 
 
@@ -834,6 +843,7 @@ def build_index(
             cfg.context_types.get(cx, "text"),
             float(cfg.context_weights.get(cx, 1.0)),
             cfg.context_regexes.get(cx),
+            bool(cfg.context_defaults.get(cx, True)),
         )
         for cx in sorted(context_cols)
     ]

@@ -130,12 +130,21 @@ class QueryCompiler:
         context_norms: dict | None = None,
         scoring: str = "bm25",
         context_types: dict | None = None,
+        default_contexts: list[str] | None = None,
     ):
         self.postings = postings
         self.term_stats = term_stats
         self.stats = stats
         self.n_shards = n_shards
         self.all_contexts = tuple(all_contexts or sorted(stats.n_docs))
+        # the unrestricted-query fan-out set (cxDefault, Schema.hs:89;
+        # Processor.hs:189): a subset of all_contexts — explicit
+        # QContext restriction still validates against the full set
+        self.default_contexts = (
+            tuple(default_contexts)
+            if default_contexts is not None
+            else self.all_contexts
+        )
         # per-context query-constant normalizers (Hunt normQueryCx,
         # Processor.hs:165-181): typed contexts (int/date/geo) rewrite
         # query words/range bounds with the same chain the build used;
@@ -471,7 +480,7 @@ class QueryCompiler:
     # evaluation
     # ------------------------------------------------------------------
     def eval(self, q, cxs: tuple | None = None, raw: bool = False) -> DataFrame:
-        cxs = cxs or self.all_contexts
+        cxs = cxs or self.default_contexts
         if isinstance(q, QWord):
             return self._scan(q.word, q.op, True, cxs, raw)
         if isinstance(q, QFullWord):

@@ -200,8 +200,9 @@ class HuntServer:
                 return {
                     "code": 0,
                     "res": {
-                        cx: {"type": t, "weight": w, "regexp": rx}
-                        for cx, (t, w, rx) in sorted(sch.items())
+                        cx: {"type": t, "weight": w, "regexp": rx,
+                             "default": d}
+                        for cx, (t, w, rx, d) in sorted(sch.items())
                     },
                 }
             if parts[1] == "context" and len(parts) == 3:
@@ -438,6 +439,8 @@ class HuntServer:
                     # ContextSchema "regexp" (Schema.hs:295-311 FromJSON)
                     # — here in the Java/Python-common regex syntax
                     regex=sch.get("regexp"),
+                    # cxDefault (o .:? "default" .!= True)
+                    default=bool(sch.get("default", True)),
                 )
             except ValueError as e:
                 raise HuntApiError(400, str(e)) from e
