@@ -156,15 +156,17 @@ class HuntEngine:
 
     def _schema(
         self,
-    ) -> dict[str, tuple[str, float, str | None, bool]] | None:
+    ) -> dict[str, tuple[str, float, str | None, bool, tuple]] | None:
         """Durable context registry {context: (ctype, weight, regex,
-        default)} — Hunt's ContextSchema, maintained by build and the
-        Insert/DeleteContext verbs (Interpreter/Command.hs:71-75);
-        regex is the cxRegEx scan override (Schema.hs:77-92), None for
-        the type default; default is cxDefault (Schema.hs:89 — False
-        excludes the context from unrestricted-query fan-out). None on
-        pre-schema catalogs (contexts then derive from context_stats);
-        older snapshots read as regex=None / default=True."""
+        default, normalizers)} — Hunt's ContextSchema, maintained by
+        build and the Insert/DeleteContext verbs (Interpreter/
+        Command.hs:71-75); regex is the cxRegEx scan override
+        (Schema.hs:77-92, None for the type default), default is
+        cxDefault (Schema.hs:89 — False excludes the context from
+        unrestricted-query fan-out), normalizers is the cxNormalizer
+        name chain (Schema.hs:85). None on pre-schema catalogs
+        (contexts then derive from context_stats); older snapshots
+        read as regex=None / default=True / normalizers=()."""
         try:
             rows = self.catalog.read(self.spark, "schema").collect()
         except FileNotFoundError:
@@ -173,22 +175,26 @@ class HuntEngine:
         for r in rows:
             d = r.asDict()
             dflt = d.get("cxdefault")
+            ns = d.get("normalizers")
             out[r["context"]] = (
                 r["ctype"],
                 r["weight"],
                 d.get("regex"),
                 True if dflt is None else bool(dflt),
+                tuple(ns.split(",")) if ns else (),
             )
         return out
 
     def _commit_schema(
-        self, sch: dict[str, tuple[str, float, str | None, bool]], key: str
+        self,
+        sch: dict[str, tuple[str, float, str | None, bool, tuple]],
+        key: str,
     ) -> None:
         from hunt_spark.operators.build import schema_values_df
 
         rows = [
-            (cx, t, float(w), rx, bool(d))
-            for cx, (t, w, rx, d) in sorted(sch.items())
+            (cx, t, float(w), rx, bool(d), list(ns))
+            for cx, (t, w, rx, d, ns) in sorted(sch.items())
         ]
         self.catalog.commit(schema_values_df(self.spark, rows), "schema", key)
 
@@ -199,13 +205,15 @@ class HuntEngine:
         BuildConfig."""
         sch = self._schema()
         if sch is not None:
-            for cx, (t, w, rx, d) in sch.items():
+            for cx, (t, w, rx, d, ns) in sch.items():
                 if t != "text":
                     self.cfg.context_types.setdefault(cx, t)
                 self.cfg.context_weights.setdefault(cx, w)
                 if rx is not None:
                     self.cfg.context_regexes.setdefault(cx, rx)
                 self.cfg.context_defaults.setdefault(cx, d)
+                if ns:
+                    self.cfg.context_normalizers.setdefault(cx, list(ns))
         return sch
 
     def compiler(self) -> QueryCompiler:
@@ -217,13 +225,35 @@ class HuntEngine:
                 avg_dl={r["context"]: r["avg_dl"] for r in cstats},
                 context_weights=self.cfg.context_weights,
             )
-            from hunt_spark.functions.analysis import context_norm_py
+            from hunt_spark.functions.analysis import (
+                chain_norm_py,
+                context_norm_py,
+            )
 
-            norms = {
-                cx: f
-                for cx, t in self.cfg.context_types.items()
-                if (f := context_norm_py(t)) is not None
-            }
+            # per-context query normalizer = cxNormalizer chain, then
+            # the type's key layout (normQueryCx order: validate ->
+            # chain -> index bijection, Processor.hs:160-181)
+            def _q_norm(chain, tnorm):
+                def f(w):
+                    if chain:
+                        w = chain_norm_py(w, chain)
+                        if w is None:
+                            return None
+                    return tnorm(w) if tnorm is not None else w
+
+                return f
+
+            norms = {}
+            cx_names = set(self.cfg.context_types) | set(
+                self.cfg.context_normalizers
+            )
+            for cx in cx_names:
+                tnorm = context_norm_py(
+                    self.cfg.context_types.get(cx, "text")
+                )
+                chain = self.cfg.context_normalizers.get(cx)
+                if tnorm is not None or chain:
+                    norms[cx] = _q_norm(chain, tnorm)
             self._compiler = QueryCompiler(
                 self._postings(),
                 self.catalog.read(self.spark, "term_stats"),
@@ -754,6 +784,7 @@ class HuntEngine:
         weight: float = 1.0,
         regex: str | None = None,
         default: bool = True,
+        normalizers: list[str] | None = None,
     ) -> None:
         """Hunt InsertContext (Command.hs:71-73): register a new context
         in the schema at runtime — no rebuild; postings for it arrive
@@ -782,10 +813,20 @@ class HuntEngine:
                 _re.compile(regex)
             except _re.error as e:
                 raise ValueError(f"bad context regex {regex!r}: {e}") from e
+        from hunt_spark.functions.analysis import CHAIN_NORMALIZERS
+
+        for nm in normalizers or []:
+            # the reference resolves names against its configured set
+            # and rejects unknowns (Interpreter.hs:165-169 FromJSON)
+            if nm not in CHAIN_NORMALIZERS:
+                raise ValueError(f"unknown normalizer {nm!r}")
         sch = self._schema() or {}
         if name in sch:
             raise ValueError(f"context {name!r} already exists")
-        sch[name] = (ctype, float(weight), regex, bool(default))
+        sch[name] = (
+            ctype, float(weight), regex, bool(default),
+            tuple(normalizers or ()),
+        )
         self._commit_schema(sch, f"insert_context/{name}")
         if ctype != "text":
             self.cfg.context_types[name] = ctype
@@ -793,6 +834,8 @@ class HuntEngine:
         if regex is not None:
             self.cfg.context_regexes[name] = regex
         self.cfg.context_defaults[name] = bool(default)
+        if normalizers:
+            self.cfg.context_normalizers[name] = list(normalizers)
         self._invalidate()
 
     @_mutating
@@ -818,6 +861,7 @@ class HuntEngine:
         self.cfg.context_weights.pop(name, None)
         self.cfg.context_regexes.pop(name, None)
         self.cfg.context_defaults.pop(name, None)
+        self.cfg.context_normalizers.pop(name, None)
         self._refresh_stats()
 
     @_mutating

@@ -454,6 +454,62 @@ CTYPE_ALIASES = {"position": "geo", "position-rtree": "geo"}
 KNOWN_CTYPES = ("text", "text-small", "int", "date", "geo") + tuple(CTYPE_ALIASES)
 
 
+def zerofill_norm_py(tok: str) -> str | None:
+    """The reference's named "ZeroFill" normalizer
+    (Normalize/Int.hs:55-70 normalizeToText): sign prefix '1'/'0' then
+    the digits zero-padded to 20 — NOTE the reference form keeps the
+    ABSOLUTE digits for negatives (non-monotone across sign, unlike the
+    built-in int context's order-isomorphic key). Mirrored as-is; the
+    one divergence is that invalid input DROPS the token instead of
+    crashing the process (the reference calls `error`)."""
+    if tok is None or not re.fullmatch(r"-?[0-9]+", tok):
+        return None
+    if not (-(2**63) <= int(tok) <= 2**63 - 1):  # isInt Int64 bounds
+        return None
+    pfx, nr = ("0", tok[1:]) if tok.startswith("-") else ("1", tok)
+    return pfx + "0" * max(0, 20 - len(nr)) + nr
+
+
+def _zerofill_norm_expr(t: Column) -> Column:
+    nr = F.when(
+        t.startswith("-"), F.substring(t, 2, 1 << 30)
+    ).otherwise(t)
+    pfx = F.when(t.startswith("-"), F.lit("0")).otherwise(F.lit("1"))
+    padded = F.when(F.length(nr) >= 20, nr).otherwise(F.lpad(nr, 20, "0"))
+    return F.when(
+        t.rlike(r"^-?[0-9]+$") & t.cast("bigint").isNotNull(),
+        F.concat(pfx, padded),
+    )
+
+
+# The reference's named normalizer set (Interpreter.hs:187-189
+# `normalizers = [cnUpperCase, cnLowerCase, cnZeroFill]`), referenced
+# by name from ContextSchema cxNormalizer (wire key "normalizers").
+# Each entry is (Catalyst token expr, python twin); a chain folds left
+# to right (normalize' Schema.hs:247-249), applied after scan+validate
+# and before the type's key layout, on both the build and the query
+# side (normQueryCx Processor.hs:160-181).
+CHAIN_NORMALIZERS: dict[str, tuple] = {
+    "UpperCase": (F.upper, lambda s: s.upper()),
+    "LowerCase": (F.lower, lambda s: s.lower()),
+    "ZeroFill": (_zerofill_norm_expr, zerofill_norm_py),
+}
+
+
+def chain_norm_expr(t: Column, names: list[str]) -> Column:
+    for nm in names:
+        t = CHAIN_NORMALIZERS[nm][0](t)
+    return t
+
+
+def chain_norm_py(word: str | None, names: list[str]) -> str | None:
+    for nm in names:
+        if word is None:
+            return None
+        word = CHAIN_NORMALIZERS[nm][1](word)
+    return word
+
+
 class ContextTypePlugin:
     """A user-defined context type — the reference's open ContextType
     set (CType, Schema.hs:104-122; a Hunt instance is configured with a
@@ -627,7 +683,10 @@ def _date_norm_expr(t: Column) -> Column:
 
 
 def normalize_context_col(
-    col: Column | str, ctype: str, scan_regex: str | None = None
+    col: Column | str,
+    ctype: str,
+    scan_regex: str | None = None,
+    chain: list[str] | None = None,
 ) -> Column:
     """Raw text column -> space-joined stream of validated+normalized
     tokens for a typed context (feed this as the context column to the
@@ -660,6 +719,13 @@ def normalize_context_col(
         if scan_regex is not None
         else F.split(c, r"\s+")
     )
+    if chain:
+        # cxNormalizer chain (Schema.hs:85, normalize' :247-249) runs
+        # between scan+validate and the type's key layout
+        toks = F.filter(
+            F.transform(toks, lambda t: chain_norm_expr(t, chain)),
+            lambda x: x.isNotNull(),
+        )
     if plugin is not None:
         mapped = plugin.norm_expr(toks)
     elif ctype == "int":
@@ -695,10 +761,12 @@ def normalize_context_col(
         mapped = F.transform(toks, _date_norm_expr)
     elif ctype == "geo":
         # the Arrow kernel whitespace-splits internally; a scan override
-        # pre-extracts the matches (lat-lon tokens carry no spaces, so
-        # the space-join round-trips exactly)
+        # or normalizer chain pre-processes the tokens (lat-lon tokens
+        # carry no spaces, so the space-join round-trips exactly)
         return _geo_norm_text_udf(
-            F.array_join(toks, " ") if scan_regex is not None else c
+            F.array_join(toks, " ")
+            if (scan_regex is not None or chain)
+            else c
         )
     else:
         raise ValueError(

@@ -77,6 +77,14 @@ class BuildConfig:
     # keep the whole-document extraction. Only meaningful with
     # extract_html=True.
     context_selectors: dict[str, str] = field(default_factory=dict)
+    # per-context named normalizer chain (ContextSchema cxNormalizer,
+    # Schema.hs:85; wire key "normalizers"): names from the reference's
+    # default set (UpperCase/LowerCase/ZeroFill, Interpreter.hs:187-189
+    # — CHAIN_NORMALIZERS in functions.analysis), folded left-to-right
+    # after scan+validate and before the type's key layout, on both the
+    # build and the query side (normalize' Schema.hs:247-249,
+    # normQueryCx Processor.hs:160-181).
+    context_normalizers: dict[str, list] = field(default_factory=dict)
     # per-context default flag (ContextSchema cxDefault, Schema.hs:89):
     # contexts marked False are excluded from queries WITHOUT a context
     # specifier (Processor.hs:189 initProcessor filters the fan-out
@@ -138,24 +146,56 @@ def _text_scan_overrides(cfg: BuildConfig) -> dict[str, str]:
     }
 
 
+def _text_chains(cfg: BuildConfig) -> dict[str, list]:
+    """cxNormalizer chains on TEXT-family contexts apply at the
+    tokenize stage (typed contexts apply theirs inside
+    normalize_context_col, before their key layout)."""
+    return {
+        cx: list(ns)
+        for cx, ns in cfg.context_normalizers.items()
+        if ns and cfg.context_types.get(cx, "text") in ("text", "text-small")
+    }
+
+
 def _tokenize_expr(cfg: BuildConfig | None):
     """Per-context tokenizer over the stacked (context, text) frame:
     the default \\w+ scan, with scanTextRE branches for contexts
-    carrying a cxRegEx override — a JVM CASE expression, still inside
-    whole-stage codegen."""
-    from hunt_spark.functions.analysis import scan_tokens_col, tokenize_col
+    carrying a cxRegEx override and normalize' folds for contexts
+    carrying a cxNormalizer chain — a JVM CASE expression, still
+    inside whole-stage codegen."""
+    from hunt_spark.functions.analysis import (
+        chain_norm_expr,
+        scan_tokens_col,
+        tokenize_col,
+    )
 
-    expr = tokenize_col(F.col("text"))
+    default = tokenize_col(F.col("text"))
     if cfg is None:
-        return expr
-    for cx, rx in sorted(_text_scan_overrides(cfg).items()):
-        expr = F.when(
-            F.col("context") == cx, scan_tokens_col(F.col("text"), rx)
-        ).otherwise(expr)
+        return default
+    scans = _text_scan_overrides(cfg)
+    chains = _text_chains(cfg)
+    expr = default
+    for cx in sorted(set(scans) | set(chains)):
+        base = (
+            scan_tokens_col(F.col("text"), scans[cx])
+            if cx in scans
+            else default
+        )
+        ch = chains.get(cx)
+        if ch:
+            base = F.filter(
+                F.transform(base, lambda t: chain_norm_expr(t, ch)),
+                lambda x: x.isNotNull(),
+            )
+        expr = F.when(F.col("context") == cx, base).otherwise(expr)
     return expr
 
 
-def _make_invert(extract_html: bool, scan_pats: dict[str, str] | None = None):
+def _make_invert(
+    extract_html: bool,
+    scan_pats: dict[str, str] | None = None,
+    chains: dict[str, list] | None = None,
+):
     """Batch-vectorized tokenize + invert kernel (optionally fused with
     HTML text extraction — one Arrow round-trip instead of two python
     stages).
@@ -182,15 +222,30 @@ def _make_invert(extract_html: bool, scan_pats: dict[str, str] | None = None):
             texts = b["text"]
             if extract_html:
                 texts = [_extract_one(x) for x in texts]
-            if scan_pats:
-                from hunt_spark.functions.analysis import scan_py
+            if scan_pats or chains:
+                from hunt_spark.functions.analysis import (
+                    chain_norm_py,
+                    scan_py,
+                )
 
+                sp, ch = scan_pats or {}, chains or {}
                 toks = [
-                    scan_py(t, scan_pats[cx])
-                    if cx in scan_pats
+                    scan_py(t, sp[cx])
+                    if cx in sp
                     else (TOKEN_PATTERN_PY.findall(t) if t else [])
                     for cx, t in zip(b["context"], texts)
                 ]
+                if ch:
+                    toks = [
+                        [
+                            w
+                            for tok in ts
+                            if (w := chain_norm_py(tok, ch[cx])) is not None
+                        ]
+                        if cx in ch
+                        else ts
+                        for cx, ts in zip(b["context"], toks)
+                    ]
             else:
                 toks = [TOKEN_PATTERN_PY.findall(t) if t else [] for t in texts]
             lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
@@ -341,7 +396,9 @@ def postings_from_contexts(
         # 1-based over surviving tokens — Hunt Analyze.hs:62-84 order);
         # a cxRegEx override replaces the whitespace scan in there
         return normalize_context_col(
-            col.cast("string"), ctype, scan_regex=cfg.context_regexes.get(name)
+            col.cast("string"), ctype,
+            scan_regex=cfg.context_regexes.get(name),
+            chain=cfg.context_normalizers.get(name),
         ).cast(cast_to)
 
     per_cx = [
@@ -367,7 +424,9 @@ def postings_from_contexts(
     if strategy == "python":
         p = stacked.mapInPandas(
             _make_invert(
-                extract_in_kernel, scan_pats=_text_scan_overrides(cfg) or None
+                extract_in_kernel,
+                scan_pats=_text_scan_overrides(cfg) or None,
+                chains=_text_chains(cfg) or None,
             ),
             schema=POSTINGS_SCHEMA,
         )
@@ -416,7 +475,7 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
         return spark.createDataFrame(
             [],
             "context string, ctype string, weight double, regex string, "
-            "cxdefault boolean",
+            "cxdefault boolean, normalizers string",
         )
 
     def _lit(s: str | None) -> str:
@@ -427,15 +486,20 @@ def schema_values_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
         return "'{}'".format(s.replace("\\", "\\\\").replace("'", "''"))
 
     vals = ", ".join(
-        "('{}', '{}', CAST({!r} AS DOUBLE), CAST({} AS STRING), {})".format(
+        "('{}', '{}', CAST({!r} AS DOUBLE), CAST({} AS STRING), {}, "
+        "CAST({} AS STRING))".format(
             cx.replace("'", "''"), t.replace("'", "''"), float(w), _lit(rx),
             "true" if d else "false",
+            # normalizer chain as a comma-joined name list (names are
+            # identifiers — no escaping needed); empty -> NULL
+            _lit(",".join(ns) if ns else None),
         )
-        for cx, t, w, rx, d in rows
+        for cx, t, w, rx, d, ns in rows
     )
     return spark.sql(
         f"SELECT col1 AS context, col2 AS ctype, col3 AS weight, "
-        f"col4 AS regex, col5 AS cxdefault FROM VALUES {vals}"
+        f"col4 AS regex, col5 AS cxdefault, col6 AS normalizers "
+        f"FROM VALUES {vals}"
     ).coalesce(1)
 
 
@@ -844,6 +908,7 @@ def build_index(
             float(cfg.context_weights.get(cx, 1.0)),
             cfg.context_regexes.get(cx),
             bool(cfg.context_defaults.get(cx, True)),
+            list(cfg.context_normalizers.get(cx) or []),
         )
         for cx in sorted(context_cols)
     ]

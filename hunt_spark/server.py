@@ -201,8 +201,8 @@ class HuntServer:
                     "code": 0,
                     "res": {
                         cx: {"type": t, "weight": w, "regexp": rx,
-                             "default": d}
-                        for cx, (t, w, rx, d) in sorted(sch.items())
+                             "default": d, "normalizers": list(ns)}
+                        for cx, (t, w, rx, d, ns) in sorted(sch.items())
                     },
                 }
             if parts[1] == "context" and len(parts) == 3:
@@ -441,6 +441,8 @@ class HuntServer:
                     regex=sch.get("regexp"),
                     # cxDefault (o .:? "default" .!= True)
                     default=bool(sch.get("default", True)),
+                    # cxNormalizer names (o .:? "normalizers" .!= [])
+                    normalizers=sch.get("normalizers") or None,
                 )
             except ValueError as e:
                 raise HuntApiError(400, str(e)) from e

@@ -190,7 +190,7 @@ def test_insert_context_regex_persists_across_reopen(spark, tmp_path_factory):
         _prose_docs(spark).drop("doc_id"),
         {"when": F.col("when")},
     )
-    assert eng._schema()["when"] == ("date", 1.0, DATE_RX, True)
+    assert eng._schema()["when"] == ("date", 1.0, DATE_RX, True, ())
 
     reopened = HuntEngine(spark, root, BuildConfig(n_shards=4))
     hits = {

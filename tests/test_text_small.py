@@ -94,7 +94,7 @@ def test_scan_prunes_positions_column(small_engine):
 
 def test_insert_context_accepts_text_small(small_engine):
     small_engine.insert_context("notes", ctype="text-small")
-    assert small_engine._schema()["notes"] == ("text-small", 1.0, None, True)
+    assert small_engine._schema()["notes"] == ("text-small", 1.0, None, True, ())
     spark = small_engine.spark
     doc = spark.createDataFrame([("u9", "omega psi")], "url string, notes string")
     small_engine.insert(doc, {"notes": F.col("notes")})
