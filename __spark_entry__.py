@@ -398,6 +398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda spark, sf_dir: textops.simhash_pairs(
             _docs(spark, sf_dir), max_hamming=3
         ),
+        # --- pairs -> clusters -> canonical keep/drop (the terminal
+        # dedup step): connected components by alternating large/small
+        # star rounds (Kiveris et al. SoCC'14), canonical = component
+        # min doc_id; docs in no pair are singletons. Oracle rebuilds
+        # the same components with a recursive transitive-closure CTE
+        # over the identical pair set. ---
+        "dedup_cluster": lambda spark, sf_dir: textops.near_dup_clusters(
+            _docs(spark, sf_dir),
+            textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8),
+        ),
         # --- embedding similarity search ---
         "emb_cosine_topk": lambda spark, sf_dir: cosine_topk(
             _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5
@@ -999,6 +1009,30 @@ def oracle_sql() -> dict[str, str]:
         # exact pair set — verified against the exhaustive oracle.
         "dedup_minhash_lsh": _SHINGLE_PAIRS,
         "dedup_simhash": _SIMHASH_PAIRS,
+        "dedup_cluster": f"""
+            WITH RECURSIVE pairs AS ({_SHINGLE_PAIRS}),
+            edges AS (
+              SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+              UNION
+              SELECT doc_id_b, doc_id_a FROM pairs
+            ),
+            reach(n, l) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+            ),
+            lab AS (SELECT n AS doc_id, min(l) AS cluster_id
+                    FROM reach GROUP BY 1),
+            alld AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l USING (doc_id)
+            ),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM alld GROUP BY 1)
+            SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+                   CAST(a.doc_id = a.cluster_id AS INT) AS keep
+            FROM alld a JOIN sz USING (cluster_id)
+        """,
         "emb_cosine_topk": _COSINE_TOPK,
         # "approximate" w.r.t. exact kNN, but fully deterministic given
         # the fixed hyperplanes — the oracle replays the same plan

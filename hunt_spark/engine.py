@@ -649,6 +649,10 @@ class HuntEngine:
         re-index verb. Streaming/bulk paths may disable it (two extra
         jobs per call)."""
         self._check_contexts(context_cols)
+        # decide BEFORE committing: stats can be maintained
+        # incrementally (O(batch+vocab)) only when the stored artifacts
+        # exactly describe the pre-insert live doc set
+        stats_were_fresh = refresh_stats and self._stats_fresh()
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         if validate_uris:
             dup = (
@@ -691,7 +695,10 @@ class HuntEngine:
             docs.select(*meta_cols), "doc_meta", "insert/meta", mode="append"
         )
         if refresh_stats:
-            self._refresh_stats()
+            if stats_were_fresh:
+                self._refresh_stats_incremental(new_p)
+            else:
+                self._refresh_stats()
         else:
             self._invalidate()
 
@@ -877,6 +884,117 @@ class HuntEngine:
         ids = self.select(query)
         self.catalog.commit(ids, "tombstones", "delete/query", mode="append")
         self._refresh_stats()
+
+    def _stats_fresh(self) -> bool:
+        """True iff all three stats artifacts postdate the newest
+        postings AND tombstone commit (manifest seq, same gate as
+        _fresh_term_totals / the WAND blocks gate) — i.e. they exactly
+        describe the current live doc set. Manifest-only, no Spark
+        job."""
+        dep_seq = -1
+        for dep in ("postings", "tombstones"):
+            s = self.catalog.snapshots(dep)
+            if s:
+                dep_seq = max(dep_seq, s[-1]["seq"])
+        for t in ("context_stats", "term_stats", "term_totals"):
+            s = self.catalog.snapshots(t)
+            if not s or s[-1]["seq"] < dep_seq:
+                return False
+        return True
+
+    def _refresh_stats_incremental(self, new_p: DataFrame) -> None:
+        """Merge a disjoint insert batch's stats into the stored stats
+        artifacts in O(batch + vocab) instead of _refresh_stats'
+        O(corpus) postings rescan — at 10^12 docs a full-corpus
+        re-aggregation per 1k-doc insert is the difference between a
+        trillions-row shuffle and a vocabulary-sized (~10^8 rows) one.
+
+        Exactness (bitwise-identical to a full recompute, pinned by
+        test_incremental_stats): insert() guarantees batch doc_ids are
+        disjoint from the live set (duplicate-URI inserts are errors,
+        Interpreter.hs:421-480), so df (distinct docs per term) and
+        n_docs are additive, max_tf is a max-merge, and sum_tf is
+        additive — all integer operations. avg_dl is the only double:
+        both paths compute it as one division of the same exact integer
+        pair (total tf recovered from the merged term_totals, not from
+        the stored double avg_dl)."""
+        old_ts = self.catalog.read(self.spark, "term_stats")
+        old_tt = self.catalog.read(self.spark, "term_totals")
+        old_cs = self.catalog.read(self.spark, "context_stats")
+        bt = term_stats(new_p)
+        btt = term_totals(new_p)
+
+        merged_ts = (
+            old_ts.select(
+                "context", "term_lc",
+                F.col("df").alias("o_df"), F.col("max_tf").alias("o_max"),
+            )
+            .join(
+                bt.select(
+                    "context", "term_lc",
+                    F.col("df").alias("n_df"), F.col("max_tf").alias("n_max"),
+                ),
+                ["context", "term_lc"],
+                "full",
+            )
+            .select(
+                "context", "term_lc",
+                (F.coalesce("o_df", F.lit(0)) + F.coalesce("n_df", F.lit(0)))
+                .alias("df"),
+                F.greatest(
+                    F.coalesce("o_max", F.lit(0)), F.coalesce("n_max", F.lit(0))
+                ).alias("max_tf"),
+            )
+        )
+        merged_tt = (
+            old_tt.select(
+                "context", "term", "term_lc", F.col("sum_tf").alias("o_tf")
+            )
+            .join(
+                btt.select(
+                    "context", "term", "term_lc", F.col("sum_tf").alias("n_tf")
+                ),
+                ["context", "term", "term_lc"],
+                "full",
+            )
+            .select(
+                "context", "term", "term_lc",
+                (F.coalesce("o_tf", F.lit(0)) + F.coalesce("n_tf", F.lit(0)))
+                .alias("sum_tf"),
+            )
+        )
+        batch_docs = new_p.groupBy("context").agg(
+            F.countDistinct("doc_id").alias("b_docs")
+        )
+        ctx_tf = merged_tt.groupBy("context").agg(
+            F.sum("sum_tf").alias("tot_tf")
+        )
+        merged_cs = (
+            old_cs.select("context", F.col("n_docs").alias("o_docs"))
+            .join(batch_docs, "context", "full")
+            .select(
+                "context",
+                (F.coalesce("o_docs", F.lit(0)) + F.coalesce("b_docs", F.lit(0)))
+                .alias("n_docs"),
+            )
+            .join(ctx_tf, "context")
+            .select(
+                "context", "n_docs",
+                (F.col("tot_tf") / F.col("n_docs")).alias("avg_dl"),
+            )
+        )
+        self.catalog.commit(
+            merged_cs, "context_stats", "insert/context_stats_delta"
+        )
+        self.catalog.commit(
+            merged_ts, "term_stats", "insert/term_stats_delta",
+            sort_within_by=["context", "term_lc"],
+        )
+        self.catalog.commit(
+            merged_tt, "term_totals", "insert/term_totals_delta",
+            sort_within_by=["context", "term_lc"],
+        )
+        self._invalidate()
 
     def _refresh_stats(self) -> None:
         self._invalidate()

@@ -494,3 +494,143 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering (pairs -> components -> canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the shuffle-native
+    CC algorithm: every round is a symmetric groupBy-min plus a join,
+    O(|E|) per round, converging in O(log^2 n) rounds (observed ~log n),
+    with no driver-side graph state and no collect. Naive min-label
+    propagation needs O(diameter) rounds — a 10^6-long duplicate chain
+    (crawl mirrors) would take 10^6 shuffles; star-contraction hops
+    whole stars per round. Hot hubs are a groupBy key (map-side partial
+    min), never a collect_list.
+
+    Returns (node, component) with component = min node id reachable —
+    a deterministic canonical representative.
+
+    Each round localCheckpoints the shrinking edge set: iterative plans
+    otherwise grow lineage linearly and re-execute the whole chain at
+    every convergence check.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select("u").union(e.select("v")).distinct().localCheckpoint()
+    e = e.localCheckpoint()
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        # m(u) = min over Gamma(u) [+] {u}
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .withColumn("m", F.least(F.col("m"), F.col("u")))
+        )
+
+    def _checksum(df: DataFrame) -> tuple:
+        # doc_ids are xxhash64-sized (full long range): sum as
+        # decimal(38,0) so the checksum can't overflow under ANSI mode
+        dec = "decimal(38,0)"
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast(dec)).alias("su"),
+            F.sum(F.col("v").cast(dec)).alias("sv"),
+            F.sum(F.xxhash64("u", "v").cast(dec)).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["su"], r["sv"], r["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        sym = _sym(e)
+        # large-star: every strictly-larger neighbor of u links to m(u)
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every <=-neighbor of u (and u itself) links to m(u)
+        sym2 = _sym(large)
+        m2 = _mins(sym2)
+        smaller = (
+            sym2.filter(F.col("v") <= F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfe = m2.select(F.col("u"), F.col("m").alias("v"))
+        e = (
+            smaller.union(selfe)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cs = _checksum(e)
+        if cs == prev:
+            break
+        prev = cs
+    # converged edge set is a union of stars rooted at component minima;
+    # a node may still carry edges to several labels mid-star — the
+    # component id is the minimum
+    labels = _sym(e).groupBy("u").agg(F.min("v").alias("component"))
+    labels = labels.withColumn("component", F.least("component", F.col("u")))
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("component", F.col("u")).alias("component"),
+        )
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs -> duplicate clusters -> canonical-doc keep/drop decision:
+    the terminal step of a training-data dedup pipeline (pairs from
+    ngram_jaccard_pairs / minhash_lsh_pairs / simhash_pairs all fit).
+
+    Output (doc_id, cluster_id, cluster_size, keep): cluster_id is the
+    minimum doc_id of the connected component (docs in no pair are
+    singleton clusters of themselves), keep=1 exactly for the canonical
+    doc — deterministic, so a re-run keeps the same documents. The
+    cluster-size join is on the vocab-of-clusters (<= n_docs) and the
+    final join broadcasts nothing doc-sized per row: all O(n) shuffle-
+    on-key."""
+    cc = connected_components(pairs)
+    labels = (
+        docs.select(F.col(doc_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+        .select("doc_id", "cluster_id")
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+        )
+    )
