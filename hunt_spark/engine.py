@@ -678,7 +678,7 @@ class HuntEngine:
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
         new_p = postings_from_contexts(docs, context_cols, self.cfg)
-        self.catalog.commit(
+        p_entry = self.catalog.commit(
             new_p,
             "postings",
             f"insert/{docs.semanticHash() if hasattr(docs, 'semanticHash') else id(docs)}",
@@ -696,7 +696,13 @@ class HuntEngine:
         )
         if refresh_stats:
             if stats_were_fresh:
-                self._refresh_stats_incremental(new_p)
+                # feed the merge from the just-committed delta snapshot:
+                # the batch postings are already materialized on disk,
+                # so the three stats aggregations read parquet instead
+                # of re-running tokenize+invert three times
+                self._refresh_stats_incremental(
+                    self.spark.read.parquet(p_entry["path"])
+                )
             else:
                 self._refresh_stats()
         else:
