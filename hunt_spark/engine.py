@@ -403,8 +403,12 @@ class HuntEngine:
         while len(cache) >= cap:
             try:
                 cache.pop(next(iter(cache)))
-            except (KeyError, StopIteration):  # lost the race: other
-                break  # thread evicted (or cleared) — cap is satisfied
+            except (KeyError, StopIteration, RuntimeError):
+                # lost the race: another thread evicted/cleared
+                # (KeyError), emptied the dict (StopIteration), or
+                # mutated it mid-iteration (RuntimeError: 'dictionary
+                # changed size during iteration') — cap is satisfied
+                break
         cache[key] = value
 
     def _search_plan(
@@ -675,6 +679,23 @@ class HuntEngine:
                 raise ValueError(
                     "insert of already-indexed URI(s); use update() to re-index"
                 )
+            # a tombstoned URI can't be re-inserted until compact():
+            # doc_id = xxhash64(url), so the pending tombstone would
+            # anti-join the NEW postings too — the doc would be
+            # silently unsearchable, while incremental stats counted it
+            # as live (phantom doc in n_docs/df/avg_dl)
+            t = self._tombstones()
+            if t is not None:
+                dead = (
+                    docs.select("doc_id")
+                    .join(t.select("doc_id"), "doc_id", "left_semi")
+                    .limit(1).count()
+                )
+                if dead:
+                    raise ValueError(
+                        "insert of URI(s) with a pending tombstone; run "
+                        "compact() to consume tombstones before re-inserting"
+                    )
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
         new_p = postings_from_contexts(docs, context_cols, self.cfg)
@@ -787,7 +808,13 @@ class HuntEngine:
             sel.append(F.col("_old_description").alias("description"))
         m = untouched.unionByName(j.select(*sel), allowMissingColumns=True)
         self.catalog.commit(m, "doc_meta", "update/doc_meta")
-        self._refresh_stats()
+        if context_cols:
+            self._refresh_stats()
+        else:
+            # description-only update: postings untouched, so every
+            # stats artifact is provably unchanged — a full O(corpus)
+            # re-aggregation per metadata edit would be pure waste
+            self._invalidate()
 
     @_mutating
     def insert_context(
@@ -1140,25 +1167,43 @@ class HuntEngine:
                 if k in meta:
                     setattr(self.cfg, k, meta[k])
         else:
-            # no meta (catalog written by an older export or foreign
-            # tool): validate the configured shard count against the
-            # on-disk hive layout (postings is partitioned by
-            # context/shard, so shard values are directory names — no
-            # Spark job needed) and fail loudly on mismatch rather than
-            # serve silently-wrong pruned lookups.
-            observed = self._observed_shards(cat)
-            if observed and max(observed) >= self.cfg.n_shards:
-                raise ValueError(
-                    f"catalog at {path!r} has shard={max(observed)} on disk "
-                    f"but engine is configured with n_shards={self.cfg.n_shards}; "
-                    "export it with store_index (which records layout meta) "
-                    "or construct the engine with the matching BuildConfig"
-                )
+            # no _index_meta.json (not a store_index export): build-time
+            # postings commits also record n_shards in the manifest —
+            # authoritative and checked in BOTH directions (a 4-shard
+            # catalog under a 16-shard engine prunes ~3/4 of exact
+            # lookups to empty shards just as silently as the reverse).
+            built = None
+            for e in reversed(cat.snapshots("postings")):
+                if "n_shards" in (e.get("meta") or {}):
+                    built = e["meta"]["n_shards"]
+                    break
+            if built is not None:
+                self.cfg.n_shards = built
+            else:
+                # truly legacy catalog (predates manifest layout meta):
+                # the hive directory layout only bounds the shard count
+                # from below (empty shards leave no dir), so only the
+                # too-few-shards direction is detectable.
+                observed = self._observed_shards(cat)
+                if observed and max(observed) >= self.cfg.n_shards:
+                    raise ValueError(
+                        f"catalog at {path!r} has shard={max(observed)} on disk "
+                        f"but engine is configured with n_shards={self.cfg.n_shards}; "
+                        "export it with store_index (which records layout meta) "
+                        "or construct the engine with the matching BuildConfig"
+                    )
         self.catalog = cat
-        # typed-context config must derive from the LOADED catalog's
-        # schema table, not linger from the previous one
+        # per-context config must derive from the LOADED catalog's
+        # schema table, not linger from the previous one — ALL five
+        # schema-backed dicts: _sync_cfg_from_schema seeds with
+        # setdefault, so any stale entry (a regex/normalizer chain from
+        # the previous catalog) would override the loaded schema,
+        # corrupting both query-side analysis and subsequent inserts
         self.cfg.context_types = {}
         self.cfg.context_weights = {}
+        self.cfg.context_regexes = {}
+        self.cfg.context_defaults = {}
+        self.cfg.context_normalizers = {}
         self._invalidate()
 
     @staticmethod

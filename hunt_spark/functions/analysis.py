@@ -338,8 +338,12 @@ def date_norm_py(tok: str) -> str | None:
       only '-' (Date.hs:152-158,236-246): "…T12:00:00+02:00" packs as
       14:00, the opposite of ISO-8601 UTC conversion, mirrored as-is;
     - fractional seconds survive into the key with trailing zeros
-      dropped (show of Pico): "…T12:00:00.50" -> "…120000.5" — '.'
-      sorts below '0' so ordering still holds;
+      dropped (show of Pico), joined with '_' rather than the
+      reference's '.': whole-second keys are all exactly 14 digits, so
+      any separator keeps lexicographic == chronological, but the
+      normalized key stream is re-tokenized by \w+ downstream and '.'
+      would split the key in two (indexed terms could then never match
+      query-side keys) — '_' is a word character and survives;
     - the leap form "T24:00:00" without a zone renders as 23:59:60
       (Haskell timeToTimeOfDay on dayTime >= 24h); with any zone,
       addUTCTime normalizes it into the next day first.
@@ -374,7 +378,7 @@ def date_norm_py(tok: str) -> str | None:
             # DiffTime is Pico fixed point — fromRational floors at 12
             # fraction digits (Data.Fixed), i.e. truncate-then-strip
             fd = fr[1:13].rstrip("0")
-            frac = "." + fd if fd else ""
+            frac = "_" + fd if fd else ""
     if g.get("tzz"):
         off, has_tz = 0, True
     elif g.get("tzsign"):
@@ -647,7 +651,7 @@ def _date_form_value(t: Column, pat: str, gmap: dict[str, int]) -> Column:
         fd = F.regexp_replace(F.substring(fre, 2, 12), "0+$", "")
         frac = F.when(
             (fre == F.lit("")) | (fd == F.lit("")), F.lit("")
-        ).otherwise(F.concat(F.lit("."), fd))
+        ).otherwise(F.concat(F.lit("_"), fd))
     else:
         frac = F.lit("")
     ts = F.timestamp_add(

@@ -940,6 +940,12 @@ def build_index(
             key,
             partition_by=["context", "shard"],
             sort_within_by=["term_lc", "doc_id"],
+            # layout-critical config rides on the commit: the query
+            # path prunes exact lookups by pmod(xxhash64, n_shards),
+            # so a catalog opened under a DIFFERENT shard count is
+            # silently wrong. load_index reads this from the manifest
+            # when no _index_meta.json exists (direct build catalogs).
+            extra_meta={"n_shards": cfg.n_shards},
         ),
     )
 

@@ -153,10 +153,17 @@ class IndexCatalog:
         stage-keyed build resume still sees completed stages; pinned
         reads of an expired snapshot raise like Iceberg's
         VERSION AS OF on an expired snapshot."""
-        import shutil
-
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        # hold the append lock across read-modify-rewrite: a commit()
+        # appending between our manifest read and the truncating rewrite
+        # would have its committed line silently dropped from the log
+        with self._append_lock:
+            return self._expire_locked(keep_last)
+
+    def _expire_locked(self, keep_last: int) -> dict:
+        import shutil
+
         entries = self._manifest()
         by_table: dict[str, list[dict]] = {}
         for e in entries:

@@ -204,3 +204,40 @@ def test_completion_dictionary_fresh_across_mutations(spark, eng):
     assert eng._fresh_term_totals() is not None
     terms = {r["term"] for r in eng.completion("qqx", k=10).collect()}
     assert terms == {"qqxterm"}
+
+
+def test_insert_tombstoned_uri_rejected_until_compact(spark, eng):
+    """Re-inserting a deleted URI before compact() must fail loudly:
+    doc_id = xxhash64(url), so the pending tombstone would anti-join
+    the NEW postings too — the doc would be silently unsearchable while
+    incremental stats counted it as live."""
+    url = "https://example.org/en/doc00000002"
+    eng.delete_docs([url])
+    fresh = spark.createDataFrame(
+        [(url, "resurrected content")], "url string, text string"
+    )
+    with pytest.raises(ValueError, match="tombstone"):
+        eng.insert(fresh, {"text": F.col("text")})
+    eng.compact()  # consumes tombstones
+    eng.insert(fresh, {"text": F.col("text")})
+    hits = {r["url"] for r in eng.search("'resurrected'", k=5).collect()}
+    assert hits == {url}
+
+
+def test_description_only_update_skips_stats_refresh(spark, eng):
+    """A metadata-only update (empty context_cols) leaves postings
+    untouched, so stats are provably unchanged — it must not trigger
+    the O(corpus) re-aggregation (three stats commits per metadata
+    edit)."""
+    stats_before = len(eng.catalog.snapshots("context_stats"))
+    upd = spark.createDataFrame(
+        [("https://example.org/en/doc00000003", {"k": "v"})],
+        "url string, description map<string,string>",
+    )
+    eng.update(upd, {})
+    assert len(eng.catalog.snapshots("context_stats")) == stats_before
+    # the metadata merge itself landed
+    row = eng.doc_meta().filter(
+        F.col("url") == "https://example.org/en/doc00000003"
+    ).first()
+    assert row["description"]["k"] == "v"

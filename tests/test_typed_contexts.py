@@ -149,11 +149,15 @@ def test_date_leap_and_fraction_pins():
     assert date_norm_py("2013-01-01T24:00:00+01:00") == "20130102010000"
     assert date_norm_py("2013-01-01T24:00:01") is None
     # fractional seconds survive into the key, trailing zeros dropped
-    # (show of Pico); '.' < '0' keeps the key order chronological
-    assert date_norm_py("2013-01-01T12:00:00.5") == "20130101120000.5"
-    assert date_norm_py("2013-01-01T12:00:00.50") == "20130101120000.5"
+    # (show of Pico). Separator is '_' (a \w char), NOT the
+    # reference's '.': the key stream is re-tokenized by \w+ in the
+    # build, and '.' would split the key so indexed terms never match
+    # query-side normalized keys. All whole-second keys are exactly 14
+    # digits, so ordering within a second stays chronological.
+    assert date_norm_py("2013-01-01T12:00:00.5") == "20130101120000_5"
+    assert date_norm_py("2013-01-01T12:00:00.50") == "20130101120000_5"
     assert date_norm_py("2013-01-01T12:00:00.0") == "20130101120000"
-    assert date_norm_py("2013-01-01T12:00:00.05+01:00") == "20130101130000.05"
+    assert date_norm_py("2013-01-01T12:00:00.05+01:00") == "20130101130000_05"
     assert (
         date_norm_py("2013-01-01T12:00:00")
         < date_norm_py("2013-01-01T12:00:00.5")
@@ -457,3 +461,40 @@ def test_geo_rect_pred_property(points, lat1, lon1, dlat, dlon):
             and lo[1::2] <= z[1::2] <= hi[1::2]
         )
         assert pred == in_rect, (lat, lon, lat1, lon1, lat2, lon2)
+
+
+def test_fractional_datetime_survives_build_tokenization(spark, tmp_path_factory):
+    """Regression: the fraction separator must be a \\w character. The
+    normalized key stream is re-tokenized by \\w+ inside the build, so
+    a '.'-joined key ('20130101120000.5') split into two bogus terms —
+    indexed fractional datetimes could never match the query-side key.
+    End-to-end: exact and range lookups on a fractional-second token."""
+    from hunt_spark.operators.build import BuildConfig
+
+    eng = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("frac_idx")),
+        BuildConfig(n_shards=4, context_types={"when": "date"}),
+    )
+    docs = spark.createDataFrame(
+        [
+            ("u1", "a", "2013-01-01T12:00:00.5"),
+            ("u2", "b", "2013-01-01T12:00:00"),
+            ("u3", "c", "2013-01-01T12:00:01"),
+        ],
+        "url string, text string, when string",
+    )
+    eng.build(docs, {"text": F.col("text"), "when": F.col("when")}, build_id="f")
+    u1 = (
+        spark.createDataFrame([("u1",)], "url string")
+        .select(F.xxhash64("url").alias("i")).first()["i"]
+    )
+    exact = {r["doc_id"] for r in eng.select('when:"2013-01-01T12:00:00.5"').collect()}
+    assert exact == {u1}
+    rng = {
+        r["doc_id"]
+        for r in eng.select(
+            'when:[2013-01-01T12:00:00.2 TO 2013-01-01T12:00:00.9]'
+        ).collect()
+    }
+    assert rng == {u1}
