@@ -187,6 +187,12 @@ _WORD_SPECIALS = set("\\\"')([]^:,~!+ \n\r\t")
 def _print_word(w: str) -> str:
     if any(c in _WORD_SPECIALS for c in w):
         return "".join("\\" + c if c in _WORD_SPECIALS else c for c in w)
+    if w in ("AND", "OR", "NOT", "NEAR", "FOLLOW", "TO", "++"):
+        # a bare keyword can't reparse as a word; an escaped first char
+        # keeps it a WORD token (the reference's printer has no such
+        # out — its escape set can't cover letters — and simply emits
+        # an unparseable token here)
+        return "\\" + w
     return w
 
 
@@ -223,8 +229,20 @@ def print_query(q) -> str:
     if isinstance(q, QContext):
         return ",".join(q.contexts) + ":(" + print_query(q.query) + ")"
     if isinstance(q, QBoost):
-        w = q.weight
-        num = str(int(w)) if float(w).is_integer() else repr(float(w))
+        w = float(q.weight)
+        if w.is_integer():
+            num = str(int(w))
+        else:
+            # plain decimal expansion, never scientific: the parser's
+            # boost grammar (simplePositiveFloat, \d+(\.\d+)?) can't
+            # read '1e-05'. Decimal(repr(w)) keeps repr's shortest
+            # round-trip digits; format 'f' removes the exponent at any
+            # magnitude. Negative weights (wire-JSON only — the text
+            # grammar is positive like the reference's
+            # simplePositiveFloat) still print but don't reparse.
+            from decimal import Decimal
+
+            num = format(Decimal(repr(w)), "f")
         return f"{_print_par(q.query)}^{num}"
     if isinstance(q, QRange):
         return f"[{q.lo} TO {q.hi}]"

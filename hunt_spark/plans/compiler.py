@@ -225,7 +225,13 @@ class QueryCompiler:
             for p in parts[1:]:
                 u = u.unionByName(p)
             return u
-        return self._scan_one(word, op, prefix, cxs, raw)
+        # single group, unchanged constant — but scan ONLY the group's
+        # contexts: a context whose validator rejected the word must not
+        # be scanned with the raw constant (e.g. a date context rejects
+        # '20130101' as a token but a prefix scan on it would match
+        # every packed '20130101HHMMSS' key; the oracle skips the
+        # context entirely)
+        return self._scan_one(word, op, prefix, tuple(groups[word]), raw)
 
     def _empty(self, raw: bool) -> DataFrame:
         schema = (
@@ -487,6 +493,8 @@ class QueryCompiler:
             return self._scan(q.word, q.op, False, cxs, raw)
         if isinstance(q, QPhrase):
             words = q.phrase.split()
+            if not words:  # '""' parses; zero legs must not IndexError
+                return self._empty(raw)
             if len(words) == 1:
                 return self._scan(words[0], q.op, False, cxs, raw)
             self._check_positional(cxs)
@@ -507,6 +515,8 @@ class QueryCompiler:
             return r.withColumn("score", F.col("score") * F.lit(float(q.weight)))
         if isinstance(q, QSeq):
             legs_q = self._flatten(q)
+            if not legs_q:  # builder API admits QSeq('and', ())
+                return self._empty(raw)
             if q.op in ("phrase", "follow", "near"):
                 self._check_positional(cxs)
                 legs = [self.eval(leg, cxs, raw=True) for leg in legs_q]

@@ -47,12 +47,16 @@ class _Lexer:
         self.i = 0
         self.toks: list[tuple[str, str]] = []
         self._glue: list[bool] = []
+        self._esc0: list[bool] = []  # token's first char came escaped
         self._lex()
         self.p = 0
 
-    def _append(self, tok: tuple[str, str], start: int, end: int) -> None:
+    def _append(
+        self, tok: tuple[str, str], start: int, end: int, esc0: bool = False
+    ) -> None:
         self.toks.append(tok)
         self._glue.append(start == self._prev_end)
+        self._esc0.append(esc0)
         self._prev_end = end
 
     def _lex(self) -> None:
@@ -89,19 +93,27 @@ class _Lexer:
             # bare word (with escapes)
             buf = []
             j = i
+            esc0 = escaped = False
             while j < n and (s[j] == "\\" or s[j] not in _SPECIAL):
                 if s[j] == "\\" and j + 1 < n:
+                    if not buf:
+                        esc0 = True
+                    escaped = True
                     buf.append(s[j + 1])
                     j += 2
                 else:
                     buf.append(s[j])
                     j += 1
             word = "".join(buf)
-            kw = word.upper()
-            if kw in ("AND", "OR", "NOT", "NEAR", "FOLLOW", "TO") or word == "++":
-                self._append((kw if word != "++" else "++", word), i, j)
+            # keywords are the reference's literal UPPERCASE tokens
+            # (Parser.hs string "AND" etc.) — 'and'/'to'/'not' are plain
+            # words there, and an escaped token is never a keyword
+            if not escaped and (
+                word in ("AND", "OR", "NOT", "NEAR", "FOLLOW", "TO", "++")
+            ):
+                self._append((word, word), i, j)
             else:
-                self._append(("WORD", word), i, j)
+                self._append(("WORD", word), i, j, esc0=esc0)
             i = j
         self._append(("EOF", ""), n + 1, n + 1)
 
@@ -112,6 +124,12 @@ class _Lexer:
         """True when token p+k starts exactly where its predecessor
         ended (no intervening whitespace)."""
         return self._glue[min(self.p + k, len(self.toks) - 1)]
+
+    def esc0(self, k: int = 0) -> bool:
+        """True when token p+k's first character was written escaped —
+        an escaped '!'/'~' is a literal word char, not a case/fuzzy
+        operator (print_query escapes them expecting exactly this)."""
+        return self._esc0[min(self.p + k, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
         t = self.peek()
@@ -162,14 +180,20 @@ def _near_expr(lx):
             left = QSeq("phrase", (left, right))
         else:
             kind, num = lx.next()
-            if kind != "WORD" or not _NUM_RE.fullmatch(num):
+            # the reference reads many1 digit (Parser.hs:126-133);
+            # '2.9' must not silently truncate to 2
+            if kind != "WORD" or not num.isdigit():
                 raise ParseError(f"{k} requires an integer distance, got {num!r}")
             right = _juxt_expr(lx)
-            left = QSeq(k.lower(), (left, right), int(float(num)))
+            left = QSeq(k.lower(), (left, right), int(num))
     return left
 
 
-_PRIMARY_START = ("WORD", "PHRASE", "QWORD", "(", "[", ":", ",")
+# NOT/TO lex as keyword tokens but the reference's word rule rejects
+# only OR/AND/++/NEAR/FOLLOW (Parser.hs:232) — standalone 'NOT'/'TO'
+# are plain words there, consumed by their operators only positionally
+# (after AND; inside [a TO b])
+_PRIMARY_START = ("WORD", "PHRASE", "QWORD", "(", "[", ":", ",", "NOT", "TO")
 
 
 def _juxt_expr(lx):
@@ -224,7 +248,7 @@ def _primary(lx):
     # [alphaNum_]+ names; on any mismatch the reference backtracks and
     # the colon/comma chars fall back into the word
     kind, val = lx.peek()
-    if kind == "WORD" and _CX_NAME_RE.fullmatch(val):
+    if kind in ("WORD", "NOT", "TO") and _CX_NAME_RE.fullmatch(val):
         cxs, k, ok = [val], 1, True
         while lx.peek(k)[0] == ",":
             nk, nv = lx.peek(k + 1)
@@ -267,11 +291,14 @@ def _primary_nocx(lx):
     if kind == "QWORD":
         lx.next()
         return QFullWord(val, "nocase")
-    if kind in ("WORD", ":", ","):
+    if kind in ("WORD", ":", ",", "NOT", "TO"):
         # a word may START with ':'/',' in the reference (word chars,
-        # Grammar.hs:229) — e.g. "a : b" is three words there
+        # Grammar.hs:229); NOT/TO out of operator position are words
+        first_esc = lx.esc0()
         word = _reassemble_word(lx)
-        w, op = _word_op(word)
+        # an escaped first char is literal: '\!foo' is the word
+        # '!foo', never a case operator (print/parse round-trip)
+        w, op = (word, "nocase") if first_esc else _word_op(word)
         if not w:
             # '!' / '~' as a standalone token before the operand — the
             # reference accepts whitespace here (" ! test" -> case word,

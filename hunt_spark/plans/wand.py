@@ -149,11 +149,11 @@ class _TermBlocks:
 def _decode(
     blocks: DataFrame,
     legs: list[WandLeg],
-    keep: dict[str, list[tuple[int, int]]],
+    keep: dict[tuple[str, str], list[tuple[int, int]]],
     n_docs: dict[str, float],
     avg_dl: dict[str, float],
 ) -> DataFrame:
-    """Scan the kept (term_lc -> block_id set) blocks; emit per
+    """Scan the kept ((context, term_lc) -> block_id set) blocks; emit per
     (context, doc_id, term_lc) the similarity-weighted boosted BM25
     contribution (max over case variants — mirrors compiler._scan).
 
@@ -163,12 +163,15 @@ def _decode(
     from hunt_spark.operators.build import BM25_B, BM25_K1
 
     conds = None
-    for t, ivs in keep.items():
+    for (cx, t), ivs in keep.items():
         ic = None
         for lo_b, hi_b in ivs:
             c = F.col("block_id").between(int(lo_b), int(hi_b))
             ic = c if ic is None else (ic | c)
-        c = (F.col("term_lc") == t) & ic
+        # pruning runs per context (per-cx theta) — the predicate must
+        # keep that key, or intervals kept for context B re-admit the
+        # same term's pruned blocks in context A (exact but unpruned)
+        c = (F.col("context") == cx) & (F.col("term_lc") == t) & ic
         conds = c if conds is None else (conds | c)
     sel = blocks.filter(conds).select(
         "context", "term_lc", "df", "doc_ids_vb", "variants", "tfs", "dls"
@@ -346,7 +349,7 @@ class WandExecutor:
             per_ct.setdefault((r["context"], r["term_lc"]), []).append(r.asDict())
         tb = {key: _TermBlocks(rows) for key, rows in per_ct.items()}
 
-        keep: dict[str, list[tuple[int, int]]] = {}
+        keep: dict[tuple[str, str], list[tuple[int, int]]] = {}
         n_total = n_kept = n_seed_jobs = 0
         cxs = sorted({c for c, _ in tb})
         for cx in cxs:
@@ -400,10 +403,12 @@ class WandExecutor:
                 # prune almost nothing)
                 rest = sum(np_ for _, _, _, np_ in cand) - covered
                 if len(seed) < len(cand) and rest > covered:
-                    seed_keep: dict[str, list[tuple[int, int]]] = {}
+                    seed_keep: dict[tuple[str, str], list[tuple[int, int]]] = {}
                     for t, iv in seed:
-                        seed_keep.setdefault(t, []).append(iv)
-                    seed_keep = {t: _coalesce(v) for t, v in seed_keep.items()}
+                        seed_keep.setdefault((cx, t), []).append(iv)
+                    seed_keep = {
+                        key: _coalesce(v) for key, v in seed_keep.items()
+                    }
                     part = _aggregate(
                         _decode(
                             bl.filter(F.col("context") == cx), legs, seed_keep,
@@ -422,7 +427,7 @@ class WandExecutor:
             # true top-k block
             for ub, t, iv, _np in cand:
                 if ub >= theta - 1e-9:
-                    keep.setdefault(t, []).append(iv)
+                    keep.setdefault((cx, t), []).append(iv)
                     n_kept += 1
 
         self.last_stats = {
@@ -435,7 +440,7 @@ class WandExecutor:
         }
         if not keep:
             return empty
-        keep = {t: _coalesce(v) for t, v in keep.items()}
+        keep = {key: _coalesce(v) for key, v in keep.items()}
         return _aggregate(
             _decode(bl, legs, keep, self.n_docs, self.avg_dl), op, len(legs)
         )

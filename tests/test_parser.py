@@ -99,3 +99,73 @@ def test_errors():
         parse_query("a NEAR x b")
     with pytest.raises(ParseError):
         parse_query("(a OR b")
+
+
+# --- keyword case-sensitivity (Parser.hs matches literal uppercase
+# tokens; the word rule rejects only OR/AND/++/NEAR/FOLLOW, so
+# lowercase operators — and standalone NOT/TO — are plain words) ---
+
+
+def test_lowercase_operators_are_plain_words():
+    assert parse_query("fly to paris") == QSeq(
+        "and", (QWord("fly"), QWord("to"), QWord("paris"))
+    )
+    assert parse_query("cat and dog") == QSeq(
+        "and", (QWord("cat"), QWord("and"), QWord("dog"))
+    )
+    assert parse_query("not now") == QSeq("and", (QWord("not"), QWord("now")))
+    assert parse_query("near miss") == QSeq("and", (QWord("near"), QWord("miss")))
+
+
+def test_uppercase_not_and_to_are_words_outside_operator_position():
+    # the reference's word rule rejects only OR/AND/++/NEAR/FOLLOW
+    assert parse_query("NOT") == QWord("NOT")
+    assert parse_query("a NOT b") == QSeq(
+        "and", (QWord("a"), QWord("NOT"), QWord("b"))
+    )
+    assert parse_query("TO") == QWord("TO")
+    # ...while the operator positions still work
+    assert parse_query("a AND NOT b") == QSeq("andnot", (QWord("a"), QWord("b")))
+    assert parse_query("[a TO b]") == QRange("a", "b")
+
+
+def test_escaped_bang_tilde_are_literal_word_chars():
+    assert parse_query(r"\!foo") == QWord("!foo")
+    assert parse_query(r"\~foo") == QWord("~foo")
+    # print/parse round-trip for words starting with operators
+    from hunt_spark.plans.ast import print_query
+
+    for q in (QWord("!foo"), QWord("~x"), QWord("to"), QWord("and")):
+        assert parse_query(print_query(q)) == q
+
+
+def test_escaped_keyword_is_a_word():
+    assert parse_query(r"\AND") == QWord("AND")
+    assert parse_query(r"A\ND") == QWord("AND")
+
+
+def test_near_distance_must_be_integer():
+    with pytest.raises(ParseError, match="integer distance"):
+        parse_query("a NEAR 2.9 b")
+
+
+def test_boost_print_parse_roundtrip_small_weights():
+    from hunt_spark.plans.ast import QBoost, print_query
+
+    for w in (1e-05, 0.5, 2.0, 1.25e-07, 123.456):
+        q = QBoost(w, QWord("a"))
+        printed = print_query(q)
+        assert "e" not in printed and "E" not in printed
+        assert parse_query(printed) == q
+
+
+def test_empty_phrase_parses():
+    assert parse_query('""') == QPhrase("", "nocase")
+
+
+def test_uppercase_keyword_words_roundtrip_via_escape():
+    from hunt_spark.plans.ast import print_query
+
+    for w in ("AND", "OR", "NEAR", "FOLLOW", "TO", "NOT"):
+        q = QWord(w)
+        assert parse_query(print_query(q)) == q

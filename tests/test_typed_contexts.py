@@ -498,3 +498,32 @@ def test_fractional_datetime_survives_build_tokenization(spark, tmp_path_factory
         ).collect()
     }
     assert rng == {u1}
+
+
+def test_rejected_context_excluded_from_single_group_fast_path(
+    spark, tmp_path_factory
+):
+    """Regression: when every typed context REJECTS the query constant
+    (validator -> None) and only text keeps it unchanged, the
+    single-group fast path must scan just the surviving contexts. It
+    used to scan the original fan-out — a prefix like '201301' then
+    matched every packed date key '20130101HHMMSS' in the rejected
+    date context (the oracle skips the context entirely)."""
+    from hunt_spark.operators.build import BuildConfig
+
+    eng = HuntEngine(
+        spark,
+        str(tmp_path_factory.mktemp("rej_idx")),
+        BuildConfig(n_shards=4, context_types={"when": "date"}),
+    )
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta", "2013-01-01T12:00:00"),
+         ("u2", "gamma delta", "2013-01-02")],
+        "url string, text string, when string",
+    )
+    eng.build(docs, {"text": F.col("text"), "when": F.col("when")}, build_id="r")
+    # '201301' matches no date grammar form -> rejected by the date
+    # context; as a bare-word prefix over text it matches nothing
+    assert eng.select("201301").collect() == []
+    # sanity: a real date constant still hits through the date context
+    assert {r["doc_id"] for r in eng.select('when:"2013-01-02"').collect()}
