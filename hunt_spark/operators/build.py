@@ -195,6 +195,7 @@ def _make_invert(
     extract_html: bool,
     scan_pats: dict[str, str] | None = None,
     chains: dict[str, list] | None = None,
+    skip_extract_cxs: frozenset | None = None,
 ):
     """Batch-vectorized tokenize + invert kernel (optionally fused with
     HTML text extraction — one Arrow round-trip instead of two python
@@ -221,7 +222,14 @@ def _make_invert(
         for b in batches:
             texts = b["text"]
             if extract_html:
-                texts = [_extract_one(x) for x in texts]
+                # typed-context rows arrive already extracted+normalized
+                skip = skip_extract_cxs or frozenset()
+                texts = [
+                    (
+                        t.decode() if isinstance(t, (bytes, bytearray)) else t
+                    ) if cx in skip else _extract_one(t)
+                    for cx, t in zip(b["context"], texts)
+                ]
             if scan_pats or chains:
                 from hunt_spark.functions.analysis import (
                     chain_norm_py,
@@ -385,6 +393,17 @@ def postings_from_contexts(
     strategy = cfg.invert_strategy
     cast_to = "binary" if cfg.extract_html else "string"
 
+    typed_names = [
+        n
+        for n in context_cols
+        if cfg.context_types.get(n, "text") not in ("text", "text-small")
+    ]
+    sel_udf = None
+    if cfg.extract_html and cfg.context_selectors:
+        from hunt_spark.functions.analysis import make_selector_extract_udf
+
+        sel_udf = make_selector_extract_udf(cfg.context_selectors)
+
     def prepared(name: str, col: Column) -> Column:
         ctype = cfg.context_types.get(name, "text")
         # "text-small" (Schema.hs:138-144 ctTextSimple) tokenizes like
@@ -394,9 +413,19 @@ def postings_from_contexts(
         # typed contexts: validate+normalize into a token stream whose
         # \w+ re-tokenization is the normalized terms (positions stay
         # 1-based over surviving tokens — Hunt Analyze.hs:62-84 order);
-        # a cxRegEx override replaces the whitespace scan in there
+        # a cxRegEx override replaces the whitespace scan in there.
+        # With html input the extraction MUST run before the validator
+        # (the date/int/geo grammars reject markup-wrapped tokens, so
+        # normalize-then-extract silently indexed nothing); downstream
+        # extraction passes skip these already-extracted rows.
+        s = col.cast("string")
+        if cfg.extract_html:
+            if sel_udf is not None and name in cfg.context_selectors:
+                s = sel_udf(F.lit(name), s)
+            else:
+                s = extract_text_udf(col.cast("binary"))
         return normalize_context_col(
-            col.cast("string"), ctype,
+            s, ctype,
             scan_regex=cfg.context_regexes.get(name),
             chain=cfg.context_normalizers.get(name),
         ).cast(cast_to)
@@ -413,11 +442,15 @@ def postings_from_contexts(
     if cfg.extract_html and cfg.context_selectors:
         # per-context selector feeds (html-hunter "-c cx:xpath"): one
         # Arrow pass routing each row's context to its selector; the
-        # stacked frame then carries extracted text for every strategy
-        from hunt_spark.functions.analysis import make_selector_extract_udf
-
-        udf = make_selector_extract_udf(cfg.context_selectors)
-        stacked = stacked.withColumn("text", udf("context", "text"))
+        # stacked frame then carries extracted text for every strategy.
+        # Typed-context rows were extracted+normalized in prepared() —
+        # re-extracting their key stream would corrupt it.
+        ext = sel_udf(F.col("context"), F.col("text"))
+        if typed_names:
+            ext = F.when(
+                F.col("context").isin(typed_names), F.col("text").cast("string")
+            ).otherwise(ext)
+        stacked = stacked.withColumn("text", ext)
         extract_in_kernel = False
     else:
         extract_in_kernel = cfg.extract_html
@@ -427,6 +460,7 @@ def postings_from_contexts(
                 extract_in_kernel,
                 scan_pats=_text_scan_overrides(cfg) or None,
                 chains=_text_chains(cfg) or None,
+                skip_extract_cxs=frozenset(typed_names) or None,
             ),
             schema=POSTINGS_SCHEMA,
         )
@@ -434,7 +468,14 @@ def postings_from_contexts(
         if extract_in_kernel:
             # byte-identity contract: extraction stays the vectorized
             # python UDF; tokenization and inversion move off python
-            stacked = stacked.withColumn("text", extract_text_udf("text"))
+            # (typed rows are already extracted+normalized)
+            ext = extract_text_udf("text")
+            if typed_names:
+                ext = F.when(
+                    F.col("context").isin(typed_names),
+                    F.col("text").cast("string"),
+                ).otherwise(ext)
+            stacked = stacked.withColumn("text", ext)
         if strategy == "arrow":
             tokenized = (
                 stacked.withColumn("toks", _tokenize_expr(cfg))
@@ -883,7 +924,20 @@ def build_index(
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
     if "url" not in docs.columns:
         # zero-padded so lexicographic url order == numeric doc_id order
-        docs = docs.withColumn("url", F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+        # bias by 2^63 into an unsigned 20-digit decimal: exact for the
+        # FULL long range (lpad would TRUNCATE ids longer than the pad
+        # width, colliding distinct docs) and order-isomorphic with the
+        # signed doc_id, negatives included
+        bias = F.lit(str(2**63)).cast("decimal(20,0)")  # 2^63 > max long
+        docs = docs.withColumn(
+            "url",
+            F.lpad(
+                (F.col("doc_id").cast("decimal(20,0)") + bias)
+                .cast("decimal(20,0)").cast("string"),
+                20,
+                "0",
+            ),
+        )
     if "weight" not in docs.columns:
         docs = docs.withColumn("weight", F.lit(1.0))
 
@@ -951,7 +1005,6 @@ def build_index(
 
     postings_r = catalog.read(spark, "postings")
     cstats = context_stats(postings_r)
-    tstats = term_stats(postings_r)
     stage("context_stats", lambda key: catalog.commit(cstats, "context_stats", key))
     stage(
         "term_stats",

@@ -180,19 +180,20 @@ def near_dup_by_features(
     sigs = feats.mapInPandas(
         sig, schema="doc_id long, band long, features array<float>"
     )
+    from hunt_spark.operators.similarity import _dot, _norm
+
     a = sigs.alias("a")
     b = sigs.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.features", "b.features", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # reuse similarity's helpers: elements cast to double BEFORE the
+    # products (float32 rounding at a threshold boundary would disagree
+    # with a float64 oracle) and the denominator nullif-guarded (an
+    # all-zero features row must score 0, not throw DIVIDE_BY_ZERO
+    # under ANSI mode)
+    den = F.nullif(
+        _norm(F.col("a.features")) * _norm(F.col("b.features")), F.lit(0.0)
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(f"{side}.features", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cos = F.coalesce(
+        _dot(F.col("a.features"), F.col("b.features")) / den, F.lit(0.0)
     )
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -200,7 +201,7 @@ def near_dup_by_features(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

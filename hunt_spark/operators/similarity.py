@@ -46,7 +46,12 @@ def _norm(a):
 
 
 def with_cosine(pairs: DataFrame, va: str = "emb_a", vb: str = "emb_b") -> DataFrame:
-    cos = _dot(F.col(va), F.col(vb)) / (_norm(F.col(va)) * _norm(F.col(vb)))
+    # nullif guards the zero-norm vector (missing/padded embeddings are
+    # routine at corpus scale): under ANSI mode (Spark 4 default) a bare
+    # division would throw DIVIDE_BY_ZERO and kill the whole job; a
+    # degenerate vector instead scores cosine 0 (similar-to-nothing)
+    den = F.nullif(_norm(F.col(va)) * _norm(F.col(vb)), F.lit(0.0))
+    cos = F.coalesce(_dot(F.col(va), F.col(vb)) / den, F.lit(0.0))
     return pairs.withColumn("cosine", cos)
 
 
@@ -286,7 +291,13 @@ def lsh_ann_topk(
     recall), exact cosine on candidates. Same output schema as
     cosine_topk. ``strategy`` as in ivf_ann_topk."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        row = embeddings.select(vec_col).first()
+        if row is None or row[0] is None:  # empty frame / null probe
+            return embeddings.sparkSession.createDataFrame(
+                [],
+                "probe_id long, neighbor_id long, cosine_x1e4 long, rank int",
+            )
+        dim = len(row[0])
     planes = _hyperplanes(dim, n_planes)
     if strategy == "auto":
         strategy = "expr" if planes.size <= EXPR_LITERAL_LIMIT else "udf"

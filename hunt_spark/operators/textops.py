@@ -77,7 +77,13 @@ STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
 def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: token count, distinct-token ratio,
     stopword ratio, mean token length (scaled to int for stable
-    cross-engine comparison)."""
+    cross-engine comparison).
+
+    Zero-token docs emit NO row (the ratios are 0/0): treat a missing
+    row as minimum quality — filter pipelines should LEFT-join and
+    reject unmatched docs, not inner-join (which would silently pass
+    exactly the emptiest documents). Pinned by the txt_quality gate,
+    whose oracle filters len(tk) > 0 identically."""
     t = tokenize_col(text_col)
     d = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
     n = F.size("t").cast("double")
@@ -206,7 +212,14 @@ def _shingle_arrays(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     an eager persist each downstream branch of a single job would
     recompute it (a lazy persist does not help branches racing past the
     empty cache). At true 100 TB scale swap the persist for DISK_ONLY
-    or recompute — the call sites are the only thing to change."""
+    or recompute — the call sites are the only thing to change.
+
+    Cache LIFETIME is caller-owned: the returned frame is embedded in
+    the operators' lazy result plans, so this module cannot unpersist
+    it without invalidating them. Long-running applications calling the
+    dedup operators over many corpora should `spark.catalog.clearCache()`
+    (or track and unpersist) between corpora; the serving engine never
+    runs these operators, so the server path is unaffected."""
     sh = (
         _spread(docs).select(
             "doc_id", shingles_col(tokenize_col(text_col), k).alias("sh")
@@ -342,6 +355,16 @@ def minhash_lsh_pairs(
     exhaustive ngram_jaccard_pairs with overwhelming probability while
     only banded buckets are joined — the 100 TB-safe path.
     """
+    if bands < 1 or n_hashes % bands != 0:
+        # rows = n_hashes // bands must be exact and >= 1: bands >
+        # n_hashes gives rows=0 and every band hash degenerates to a
+        # per-band CONSTANT (xxhash64 of the empty concat) — all docs
+        # collide in every bucket and candidate generation becomes the
+        # full O(n^2) cross join the banding exists to prevent
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = n_hashes // bands
     sh_arrays = _shingle_arrays(docs, text_col, k)
     sigs = minhash_signatures(docs, n_hashes, k, text_col, sh_arrays=sh_arrays)
@@ -377,15 +400,11 @@ _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
 
 
-def _fnv1a64_batch(terms: np.ndarray) -> np.ndarray:
-    """FNV-1a 64-bit over each term's Unicode code points, fully
-    vectorized: one UTF-32 encode of the concatenated batch, then the
-    fold iterates over code-point POSITIONS (bounded by the longest
-    term), not over terms. Defined on code points (== bytes for ASCII)
-    so the DuckDB oracle can reproduce it with unicode()/list_reduce.
-    """
-    if len(terms) == 0:
-        return np.empty(0, dtype=np.uint64)
+# dense-matrix cell budget for the FNV kernel: 2^24 cells x 8 B = 128 MB
+_FNV_DENSE_LIMIT = 1 << 24
+
+
+def _fnv_dense(terms) -> np.ndarray:
     lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
     cps = np.frombuffer("".join(terms).encode("utf-32-le"), dtype=np.uint32)
     starts = np.zeros(len(terms), dtype=np.int64)
@@ -402,6 +421,39 @@ def _fnv1a64_batch(terms: np.ndarray) -> np.ndarray:
             active = valid[:, j]
             h[active] = (h[active] ^ mat[active, j]) * prime
     return h
+
+
+def _fnv1a64_batch(terms: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit over each term's Unicode code points, fully
+    vectorized: one UTF-32 encode per slice, then the fold iterates
+    over code-point POSITIONS (bounded by the slice's longest term),
+    not over terms. Defined on code points (== bytes for ASCII) so the
+    DuckDB oracle can reproduce it with unicode()/list_reduce.
+
+    The dense (n_terms x maxlen) matrix is the speed path, but its
+    footprint multiplies EVERY term by the longest one — a single 1 MB
+    unbroken base64 run in a web batch would inflate a 100k-term
+    matrix to ~800 GB. Terms are therefore processed in length-sorted
+    slices whose cell count stays under _FNV_DENSE_LIMIT (128 MB):
+    identical hashes, bounded memory, and the common all-short-terms
+    batch still runs as one dense slice."""
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    if n * int(lens.max()) <= _FNV_DENSE_LIMIT:
+        return _fnv_dense(terms)
+    order = np.argsort(lens, kind="stable")
+    out = np.empty(n, dtype=np.uint64)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and (j - i + 1) * int(lens[order[j]]) <= _FNV_DENSE_LIMIT:
+            j += 1
+        idx = order[i:j]
+        out[idx] = _fnv_dense([terms[x] for x in idx])
+        i = j
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
