@@ -314,6 +314,12 @@ class HuntEngine:
             if len(self.compiler().all_contexts) > 1:
                 self._wand_unavailable = "multi-context index"
                 return None
+            if self.doc_limit:
+                # per-context doc-set truncation (Hunt docLimit) runs
+                # inside the full plan's scans; WAND doesn't apply it,
+                # so auto-routing would flip result sets
+                self._wand_unavailable = "doc_limit configured"
+                return None
             wrange = self.doc_meta().agg(
                 F.min("weight").alias("lo"), F.max("weight").alias("hi")
             ).first()
@@ -698,6 +704,22 @@ class HuntEngine:
                     )
         if "weight" not in docs.columns:
             docs = docs.withColumn("weight", F.lit(1.0))
+        if not context_cols:
+            # description-only ApiDocument (legal in the reference:
+            # empty index map) — metadata lands, no postings and no
+            # stats change; the old path crashed on per_cx[0]
+            meta_cols = [
+                c
+                for c in ("doc_id", "url", "weight", "lang", "warc_ts",
+                          "description")
+                if c in docs.columns
+            ]
+            self.catalog.commit(
+                docs.select(*meta_cols), "doc_meta", "insert/meta",
+                mode="append",
+            )
+            self._invalidate()
+            return
         new_p = postings_from_contexts(docs, context_cols, self.cfg)
         p_entry = self.catalog.commit(
             new_p,
@@ -717,12 +739,16 @@ class HuntEngine:
         )
         if refresh_stats:
             if stats_were_fresh:
-                # feed the merge from the just-committed delta snapshot:
-                # the batch postings are already materialized on disk,
-                # so the three stats aggregations read parquet instead
-                # of re-running tokenize+invert three times
+                # feed the merge from the just-committed delta snapshot
+                # (pinned catalog read: already materialized, and the
+                # catalog's empty-snapshot fallback covers a batch whose
+                # every token was rejected — raw spark.read.parquet
+                # can't infer a schema from a data-file-less snapshot)
                 self._refresh_stats_incremental(
-                    self.spark.read.parquet(p_entry["path"])
+                    self.catalog.read(
+                        self.spark, "postings",
+                        pinned_snapshot=p_entry["snapshot_id"],
+                    )
                 )
             else:
                 self._refresh_stats()
@@ -765,6 +791,13 @@ class HuntEngine:
                 partition_by=["context", "shard"],
                 sort_within_by=["term_lc", "doc_id"],
             )
+            # the rewritten base came from the tombstone-filtered view
+            # (self._postings()), so every tombstone is consumed by this
+            # commit — and MUST be cleared, or a pending tombstone for an
+            # updated doc_id would anti-join its fresh rows out (update
+            # of a deleted URI = silently invisible document)
+            empty_t = self.spark.createDataFrame([], "doc_id long")
+            self.catalog.commit(empty_t, "tombstones", "update/tombstones")
         old = self.doc_meta()
         if "description" not in old.columns:
             old = old.withColumn(
@@ -909,6 +942,15 @@ class HuntEngine:
         t = self.spark.createDataFrame([(u,) for u in urls], "url string").select(
             F.xxhash64("url").alias("doc_id")
         )
+        # deleting an unknown URI is a no-op (Hunt's delete ignores
+        # absent docs); tombstoning it anyway would block that URI's
+        # FIRST insert behind the pending-tombstone guard until compact
+        try:
+            t = t.join(
+                self.doc_meta().select("doc_id"), "doc_id", "left_semi"
+            )
+        except FileNotFoundError:
+            return
         self.catalog.commit(t, "tombstones", "delete/docs", mode="append")
         self._refresh_stats()
 
@@ -1028,6 +1070,13 @@ class HuntEngine:
             sort_within_by=["context", "term_lc"],
         )
         self._invalidate()
+
+    def refresh_stats(self) -> None:
+        """Public stats refresh — the verb a streaming/bulk caller uses
+        after inserts made with ``refresh_stats=False`` (stats are
+        global aggregates; per-micro-batch refresh would serialize the
+        stream on extra jobs per trigger)."""
+        self._refresh_stats()
 
     def _refresh_stats(self) -> None:
         self._invalidate()

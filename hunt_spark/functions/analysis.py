@@ -76,8 +76,13 @@ def scan_tokens_col(col: Column | str, regex: str) -> Column:
     matches dropped. Group 0 is taken, so reference regexes with
     inner capture groups work verbatim."""
     c = F.col(col) if isinstance(col, str) else col
+    # (?U) makes Java's predefined classes (\w, \d, \b) Unicode-aware
+    # like Python's — without it the same config tokenizes 'café' as
+    # 'caf' on the arrow/jvm strategies but 'café' in the python kernel
+    # (a no-op for regexes not using those classes)
     return F.filter(
-        F.regexp_extract_all(c, F.lit(regex), 0), lambda t: t != F.lit("")
+        F.regexp_extract_all(c, F.lit("(?U)" + regex), 0),
+        lambda t: t != F.lit(""),
     )
 
 
@@ -262,7 +267,10 @@ def tokenize_py(text: str, lowercase: bool = False) -> list[str]:
 # and a python twin for query-constant normalization and the oracle.
 # ---------------------------------------------------------------------------
 
-_INT_RE = re.compile(r"-?\d{1,19}")
+# ASCII digits only: Python \d admits Unicode digits (int() parses
+# them!) while the JVM twin's \d is ASCII — and the reference's
+# Data.Char.isDigit is ASCII-only, so ASCII is the correct semantics
+_INT_RE = re.compile(r"-?[0-9]{1,19}")
 _TEN20 = 10**20
 
 

@@ -376,7 +376,14 @@ class HuntServer:
         return _limited(out, 0, -1, total)
 
     def _completion(self, q: str, mx: int) -> list:
-        rows = self.engine.complete_query(q, k=mx).collect()
+        from hunt_spark.plans.parser import ParseError
+
+        try:
+            rows = self.engine.complete_query(q, k=mx).collect()
+        except (ParseError, ValueError) as e:
+            # bad query text or an unsupported completion shape is the
+            # client's error — hunt-server replies 400, not 500
+            raise HuntApiError(400, f"parse error: {e}") from e
         return [[r["term"], float(r["score"])] for r in rows]
 
     # -- /eval (Command.hs:194-224) --------------------------------------

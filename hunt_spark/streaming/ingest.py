@@ -38,11 +38,17 @@ def stream_ingest(
     schema: str = CORPUS_SCHEMA,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    refresh_on_drain: bool = True,
 ) -> StreamingQuery:
     """Consume document parquet files from ``input_path`` into the
     index. ``available_now=True`` drains the backlog and stops (the
-    resumable-batch pattern); False keeps a continuous micro-batch
-    stream running."""
+    resumable-batch pattern) — and, with ``refresh_on_drain`` (the
+    default), awaits the drain and refreshes collection stats so newly
+    streamed vocabulary is immediately searchable (the compiler inner-
+    joins postings with term_stats; without the refresh, new terms
+    simply don't exist). False keeps a continuous micro-batch stream
+    running — call ``engine.refresh_stats()`` on whatever cadence the
+    deployment wants scores to advance."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -65,6 +71,11 @@ def stream_ingest(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        if refresh_on_drain:
+            q.awaitTermination()
+            engine.refresh_stats()
+        return q
     return writer.start()
 
 

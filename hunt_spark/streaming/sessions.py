@@ -89,7 +89,17 @@ def sessionize_stream(
                 out.append(_close(s, e, n, v, user_id))
                 s, e, n, v = t, t, 1, _cents(val)
             else:
-                e, n, v = t, n + 1, v + _cents(val)
+                # t can precede e (a late event from an earlier batch,
+                # still inside the watermark): bounds only ever widen —
+                # rewinding e would shift the gap origin backward and
+                # split the session early on the next in-order event,
+                # and s must absorb a pre-start late event. A straggler
+                # older than s - gap also merges here (conservative:
+                # the batch twin would emit it as its own session; the
+                # stream cannot, retroactively, without unbounded
+                # state). In-order and within-gap-disordered streams
+                # match sessionize_batch exactly (pinned by test).
+                s, e, n, v = min(s, t), max(e, t), n + 1, v + _cents(val)
         state.update((s, e, n, v))
         # flush the open session once event time passes end + gap
         state.setTimeoutTimestamp((e + gap_us) // 1000 + 1)

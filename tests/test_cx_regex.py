@@ -224,3 +224,31 @@ def test_insert_context_bad_regex_rejected(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="bad context regex"):
         eng.insert_context("x", ctype="text", regex="([unclosed")
+
+
+def test_unicode_word_scan_parity_across_strategies(spark, tmp_path_factory):
+    """(?U) on the JVM scan: the same cxRegEx (r'\\w+') must tokenize
+    'café' identically on the arrow/jvm strategies (Java ASCII \\w
+    without the flag) and the python kernel (Unicode \\w) — one config,
+    one index."""
+    from hunt_spark.engine import HuntEngine
+    from hunt_spark.operators.build import BuildConfig
+
+    docs_pdf = [("u1", "café naïve zürich plain")]
+    results = {}
+    for strategy in ("arrow", "python", "jvm"):
+        eng = HuntEngine(
+            spark,
+            str(tmp_path_factory.mktemp(f"uni_{strategy}")),
+            BuildConfig(
+                n_shards=4,
+                invert_strategy=strategy,
+                context_regexes={"text": r"\w+"},
+            ),
+        )
+        docs = spark.createDataFrame(docs_pdf, "url string, text string")
+        eng.build(docs, {"text": F.col("text")}, build_id=f"u_{strategy}")
+        results[strategy] = {
+            r["url"] for r in eng.search("'café'", k=5).collect()
+        }
+    assert results["arrow"] == results["python"] == results["jvm"] == {"u1"}

@@ -241,3 +241,48 @@ def test_description_only_update_skips_stats_refresh(spark, eng):
         F.col("url") == "https://example.org/en/doc00000003"
     ).first()
     assert row["description"]["k"] == "v"
+
+
+def test_update_of_deleted_uri_resurrects_document(spark, eng):
+    """update() rewrites the postings base from the tombstone-filtered
+    view, so it must also CONSUME tombstones — leaving one in place
+    anti-joined the updated doc's fresh rows out (200 from the server,
+    invisible document)."""
+    url = "https://example.org/en/doc00000004"
+    eng.delete_docs([url])
+    eng.update(
+        spark.createDataFrame(
+            [(url, "phoenix content risen")], "url string, text string"
+        ),
+        {"text": F.col("text")},
+    )
+    hits = {r["url"] for r in eng.search("'phoenix'", k=5).collect()}
+    assert hits == {url}
+    assert eng.doc_meta().filter(F.col("url") == url).count() == 1
+
+
+def test_delete_of_unknown_uri_is_noop(spark, eng):
+    """Hunt's delete ignores absent docs; tombstoning an unknown URI
+    would block its FIRST insert behind the pending-tombstone guard."""
+    url = "https://example.org/en/never-indexed"
+    before = eng.doc_meta().count()
+    eng.delete_docs([url])
+    assert eng.doc_meta().count() == before
+    eng.insert(  # first insert must not be blocked
+        spark.createDataFrame([(url, "fresh doc")], "url string, text string"),
+        {"text": F.col("text")},
+    )
+    assert {r["url"] for r in eng.search("'fresh'", k=5).collect()} == {url}
+
+
+def test_insert_description_only_document(spark, eng):
+    """A description-only ApiDocument (empty index map — legal in the
+    reference) lands metadata without postings; the old path crashed
+    on per_cx[0]."""
+    url = "https://example.org/en/desc-only"
+    docs = spark.createDataFrame(
+        [(url, {"k": "v"})], "url string, description map<string,string>"
+    )
+    eng.insert(docs, {})
+    row = eng.doc_meta().filter(F.col("url") == url).first()
+    assert row is not None and row["description"]["k"] == "v"
