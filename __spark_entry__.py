@@ -211,6 +211,19 @@ def _engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     return eng
 
 
+_NDOCS: dict[str, int] = {}
+
+
+def _n_docs(eng: HuntEngine, sf_dir: str) -> int:
+    """Corpus size, cached per sf_dir: it parameterizes k=all for the
+    scored gates and is invariant per built engine — re-counting
+    doc_meta added one full Spark job to EVERY scored-query run."""
+    n = _NDOCS.get(sf_dir)
+    if n is None:
+        n = _NDOCS[sf_dir] = eng.doc_meta().count()
+    return n
+
+
 def _ranked(df: DataFrame, k: int = 10) -> DataFrame:
     """Deterministic top-k on the fixed-point score: ties broken by
     doc_id — identical ordering rule in the oracle SQL."""
@@ -228,7 +241,7 @@ def _ranked(df: DataFrame, k: int = 10) -> DataFrame:
 def _q_search(q: str, k: int = 10, use_wand: bool | str = "auto"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
-        n = eng.doc_meta().count()
+        n = _n_docs(eng, sf_dir)
         return _ranked(eng.search(q, k=n, use_wand=use_wand), k)
 
     return run
@@ -238,7 +251,7 @@ def _q_search_word_limited(q: str, word_limit: int, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
         lim = HuntEngine(spark, eng.catalog.root, eng.cfg, word_limit=word_limit)
-        n = eng.doc_meta().count()
+        n = _n_docs(eng, sf_dir)
         return _ranked(lim.search(q, k=n, use_wand=False), k)
 
     return run
@@ -248,7 +261,7 @@ def _q_search_doc_limited(q: str, doc_limit: int, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
         lim = HuntEngine(spark, eng.catalog.root, eng.cfg, doc_limit=doc_limit)
-        n = eng.doc_meta().count()
+        n = _n_docs(eng, sf_dir)
         return _ranked(lim.search(q, k=n, use_wand=False), k)
 
     return run
@@ -1073,9 +1086,14 @@ def oracle_sql() -> dict[str, str]:
         "evt_sessionize": """
             WITH e AS (
               SELECT user_id, event_id, ts, value,
-                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                     -- microsecond gap arithmetic on BOTH engines:
+                     -- epoch() is a DOUBLE (fractional seconds) and the
+                     -- Spark side now compares unix_micros, so a gap
+                     -- straddling the 30-min boundary by a fraction
+                     -- splits identically
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id))
-                          > 30 * 60 THEN 1 ELSE 0 END AS brk
+                          > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
               FROM events
             ),
             s AS (

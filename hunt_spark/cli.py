@@ -43,7 +43,16 @@ def _request(base: str, method: str, path: str, payload=None):
     )
     try:
         with urllib.request.urlopen(req) as r:
-            return json.loads(r.read())
+            body = r.read()
+        try:
+            return json.loads(body)
+        except json.JSONDecodeError as e:
+            # a proxy error page / wrong port answering 200 with HTML —
+            # the module contract is stderr + exit 1, not a traceback
+            raise CliError(
+                "Server returned a non-JSON response body\n\n> "
+                + body.decode(errors="replace")[:500]
+            ) from e
     except urllib.error.HTTPError as e:
         body = e.read().decode(errors="replace")
         raise CliError(
@@ -110,7 +119,7 @@ def cmd_complete(args) -> dict:
     )
 
 
-def cmd_make_schema(args) -> dict:
+def cmd_make_schema(args) -> list[dict]:
     # createContextCommands (ClientInterface.hs:313-317): one
     # insert-context with the default schema per distinct context name,
     # first-seen order (nub)
@@ -126,7 +135,7 @@ def cmd_make_schema(args) -> dict:
     ]
 
 
-def cmd_make_insert(args) -> dict:
+def cmd_make_insert(args) -> list[dict]:
     # cmdSequence . fmap cmdInsertDoc (Command/Client.hs:184-186)
     return [
         {"cmd": "insert", "document": d}

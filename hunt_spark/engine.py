@@ -517,6 +517,25 @@ class HuntEngine:
         self, prefix: str, k: int, cxs, doc_filter: DataFrame | None = None
     ) -> DataFrame:
         c = self.compiler()
+
+        def _cap_words(df: DataFrame) -> DataFrame:
+            # wordLimit applies to completion expansion like any other
+            # prefix scan (Hunt limitWords, shortest-first per context)
+            if self.word_limit <= 0:
+                return df
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("context").orderBy(
+                F.length("term_lc"), F.col("term_lc")
+            )
+            allowed = (
+                df.select("context", "term_lc").distinct()
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.word_limit)
+                .drop("_rn")
+            )
+            return df.join(allowed, ["context", "term_lc"], "left_semi")
+
         if doc_filter is None:
             tt = self._fresh_term_totals()
             if tt is not None:
@@ -526,8 +545,10 @@ class HuntEngine:
                 # sorted table (startswith prunes parquet row groups)
                 # instead of the postings fact table.
                 return (
-                    tt.filter(F.col("context").isin(list(cxs)))
-                    .filter(F.col("term_lc").startswith(prefix.lower()))
+                    _cap_words(
+                        tt.filter(F.col("context").isin(list(cxs)))
+                        .filter(F.col("term_lc").startswith(prefix.lower()))
+                    )
                     .withColumn("sim", sim_col(prefix, F.col("term")))
                     .filter(F.col("sim") > 0)
                     .groupBy("term")
@@ -537,6 +558,7 @@ class HuntEngine:
                 )
         p = c.postings.filter(F.col("context").isin(list(cxs)))
         p = p.filter(F.col("term_lc").startswith(prefix.lower()))
+        p = _cap_words(p)
         if doc_filter is not None:
             p = p.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return (

@@ -30,11 +30,15 @@ def sessionize_batch(
     Returns (user_id, session_id, start_ts, end_ts, n_events,
     value_sum_x100) with session_id = 0-based per-user ordinal."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast via timestamp: parquet event times may be TIMESTAMP_NTZ,
-    # which has no direct long cast; the session tz is pinned to UTC
-    ts_long = F.col("ts").cast("timestamp").cast("long")
-    gap = ts_long - F.lag(ts_long).over(order)
-    brk = F.when(gap > gap_minutes * 60, 1).otherwise(0)
+    # MICROsecond gap arithmetic, matching the streaming twin and the
+    # DuckDB oracle (epoch_us): a whole-second floor (the old
+    # ts.cast('long')) splits sessions differently whenever the true
+    # gap straddles the boundary by a fraction — e.g. 1800.5 s apart
+    # but floored difference exactly 1800. Cast via timestamp first:
+    # parquet event times may be TIMESTAMP_NTZ (session tz pinned UTC).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(order)
+    brk = F.when(gap > gap_minutes * 60 * 1_000_000, 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

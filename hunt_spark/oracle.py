@@ -294,6 +294,8 @@ class OracleIndex:
             return self._scan(q.word, q.op, False, cxs, raw)
         if isinstance(q, QPhrase):
             words = q.phrase.split()
+            if not words:  # '""' parses; mirror the compiler's guard
+                return {} if not raw else {}
             if len(words) == 1:
                 return self._scan(words[0], q.op, False, cxs, raw)
             legs = [self._scan(w, q.op, False, cxs, True) for w in words]
@@ -309,11 +311,19 @@ class OracleIndex:
                 return {k: (s * q.weight, p) for k, (s, p) in r.items()}
             return {k: s * q.weight for k, s in r.items()}
         if isinstance(q, QSeq):
+            from hunt_spark.plans.compiler import QueryCompiler
+
+            # same associative flattening as the engine (a NEAR 3 b
+            # NEAR 3 c = 3 legs with cumulative bounds, not a nested
+            # pair with tighter ones — Processor.hs collectAssoc)
+            legs_q = QueryCompiler._flatten(q)
+            if not legs_q:
+                return {}
             if q.op in ("phrase", "follow", "near"):
-                legs = [self.eval(leg, cxs, raw=True) for leg in q.legs]
+                legs = [self.eval(leg, cxs, raw=True) for leg in legs_q]
                 res = self._sequence(legs, q.op, q.dist)
                 return res if raw else {k: v[0] for k, v in res.items()}
-            legs = [self.eval(leg, cxs, raw=False) for leg in q.legs]
+            legs = [self.eval(leg, cxs, raw=False) for leg in legs_q]
             if q.op == "and":
                 return self._and(legs)
             if q.op == "or":
@@ -368,8 +378,13 @@ class OracleIndex:
             return self.completion(
                 words[-1], k=k, contexts=cxs, doc_filter=doc_set
             )
-        assert isinstance(ast, QSeq) and ast.op == "and"
+        # mirror the engine's clean errors (assert would vanish under
+        # python -O, and last.word on a phrase leg is an AttributeError)
+        if not (isinstance(ast, QSeq) and ast.op == "and"):
+            raise ValueError(f"unsupported completion query shape: {ast!r}")
         last = ast.legs[-1]
+        if not isinstance(last, (QWord, QFullWord)):
+            raise ValueError("completion needs a word as the last leg")
         head = (
             ast.legs[0] if len(ast.legs) == 2 else QSeq("and", tuple(ast.legs[:-1]))
         )

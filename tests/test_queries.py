@@ -187,3 +187,41 @@ def test_near_symmetric_follow_directed(engine, oracle):
     o_near = {k[1] for k in oracle.eval(parse_query("'pinky' NEAR 4 'brain'"))}
     assert near == o_near
     assert follow <= near
+
+
+def test_completion_word_limit_parity(spark, engine, oracle):
+    """wordLimit caps completion expansion like any other prefix scan;
+    engine and oracle must agree under the cap, which must bite."""
+    from hunt_spark.engine import HuntEngine
+
+    limited = HuntEngine(spark, engine.catalog.root, engine.cfg, word_limit=2)
+    old = oracle.word_limit
+    oracle.word_limit = 2
+    try:
+        got = [
+            (r["term"], r["score"])
+            for r in limited.completion("bra", k=10).collect()
+        ]
+        want = oracle.completion("bra", k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], (got, want)
+        for g, w in zip(got, want):
+            assert math.isclose(g[1], w[1], abs_tol=1e-6)
+    finally:
+        oracle.word_limit = old
+    full = [r["term"] for r in engine.completion("bra", k=10).collect()]
+    assert len(got) < len(full)  # the cap actually bit
+
+
+def test_near_chain_flattening_parity(spark, engine, oracle):
+    """Nested same-dist NEAR chains flatten associatively on BOTH
+    sides (cumulative bounds — c within 2*dist of a), so a 3-term
+    chain ranks identically."""
+    q = "'the' NEAR 3 'brain' NEAR 3 'the'"
+    got = [r["doc_id"] for r in engine.search(q, k=10).collect()]
+    want = [w[0] for w in oracle.search(q, k=10)]
+    assert got == want
+
+
+def test_empty_phrase_oracle_matches_engine(engine, oracle):
+    assert engine.search('""', k=5).collect() == []
+    assert oracle.search('""', k=5) == []
