@@ -9,5 +9,4 @@ from hunt_spark.functions.analysis import (  # noqa: F401
 from hunt_spark.functions.varbyte import (  # noqa: F401
     delta_varbyte_decode,
     delta_varbyte_encode,
-    pack_postings_udf,
 )

@@ -329,7 +329,7 @@ _DATE_FORMS = [
 
 
 def date_norm_py(tok: str) -> str | None:
-    """ISO-8601 date[time] -> yyyymmddhhmmss[_f+] key (Normalize/
+    r"""ISO-8601 date[time] -> yyyymmddhhmmss[_f+] key (Normalize/
     Date.hs:56-63 digit packing: show-then-strip '-T:'); lexicographic
     == chronological. Reference-parity semantics, each pinned in
     tests/test_typed_contexts.py:

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 TERMS_PER_BLOCK = 1024
 
 TERM_DICT_SCHEMA = (
-    "context string, shard int, first_term string, n_terms int, terms_fc binary"
+    "context string, shard int, first_term string, last_term string, "
+    "n_terms int, terms_fc binary"
 )
 
 
@@ -111,7 +112,13 @@ def build_term_dict(term_stats: DataFrame, n_shards: int) -> DataFrame:
         # chunk per (context, shard) run; Arrow batch boundaries only
         # shorten a block (never corrupt it), so no carry needed
         for b in batches:
-            rows = {k: [] for k in ("context", "shard", "first_term", "n_terms", "terms_fc")}
+            rows = {
+                k: []
+                for k in (
+                    "context", "shard", "first_term", "last_term",
+                    "n_terms", "terms_fc",
+                )
+            }
             for (cx, sh), g in b.groupby(["context", "shard"], sort=False):
                 terms = g["term_lc"].tolist()
                 for i in range(0, len(terms), TERMS_PER_BLOCK):
@@ -119,6 +126,7 @@ def build_term_dict(term_stats: DataFrame, n_shards: int) -> DataFrame:
                     rows["context"].append(cx)
                     rows["shard"].append(sh)
                     rows["first_term"].append(chunk[0])
+                    rows["last_term"].append(chunk[-1])
                     rows["n_terms"].append(len(chunk))
                     rows["terms_fc"].append(frontcode_encode(chunk))
             yield pd.DataFrame(rows)

@@ -105,10 +105,3 @@ def delta_varbyte_decode(buf: bytes) -> np.ndarray:
     with np.errstate(over="ignore"):
         return np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
 
-
-@pandas_udf(BinaryType())
-def pack_postings_udf(doc_ids: pd.Series) -> pd.Series:
-    """array<long> (sorted doc ids, shifted non-negative) -> delta+varbyte binary."""
-    return doc_ids.map(
-        lambda ids: None if ids is None else delta_varbyte_encode(np.asarray(ids, dtype=np.int64))
-    )

@@ -25,6 +25,11 @@ from hunt_spark.plans.ast import QBoost, QContext, QSeq, QWord
 def _absorbs(shorter: QWord, longer: QWord) -> bool:
     if shorter.op != longer.op:
         return False
+    if shorter.op == "fuzzy":
+        # fuzzy expansion is not prefix-monotone: ~bra's variant set
+        # does not contain ~brain's (a fuzzed 'brian' can match docs
+        # 'bra' never reaches), so absorption would change the doc set
+        return False
     if shorter.op == "case":
         return longer.word.startswith(shorter.word)
     return longer.word.lower().startswith(shorter.word.lower())

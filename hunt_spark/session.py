@@ -25,6 +25,9 @@ def get_spark(
         # one shuffle partition per core locally; on a real cluster this is
         # set to ~2-3x total executor cores by the submitter.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        # Spark's local master also takes local[N,maxFailures] — only
+        # the thread count matters here, and '*' falls back to cpus
+        n = n.split(",", 1)[0]
         shuffle_partitions = cpus if n in ("*", "") else int(n)
 
     b = (

@@ -71,3 +71,25 @@ def test_lookup_prefix_matches_term_stats(spark, engine, term_dict):
         .select("context", "term_lc").collect()
     }
     assert got == want and got
+
+
+def test_lookup_prefix_lower_bound_pruning(spark, engine, term_dict):
+    """A late-alphabet prefix must prune blocks lying entirely before
+    it (last_term bound) and still return the exact term set."""
+    from hunt_spark.functions.frontcode import lookup_prefix
+
+    assert "last_term" in term_dict.columns
+    got = {r["term_lc"] for r in lookup_prefix(term_dict, "z").collect()}
+    want = {
+        r["term_lc"]
+        for r in engine.catalog.read(spark, "term_stats")
+        .filter("term_lc like 'z%'")
+        .select("term_lc").distinct().collect()
+    }
+    assert got == want
+    # the pruning predicate actually excludes early-alphabet blocks
+    kept = term_dict.filter(
+        (F.substring(F.col("first_term"), 1, 1) <= "z")
+        & (F.col("last_term") >= "z")
+    ).count()
+    assert kept < term_dict.count()

@@ -44,3 +44,13 @@ def test_doc_set_equivalence_on_engine(engine):
             for r in engine.select(optimize_query(parse_query(text))).collect()
         }
         assert orig == opt, text
+
+
+def test_fuzzy_words_never_absorb():
+    """Fuzzy expansion is not prefix-monotone: ~bra's variant set does
+    not contain ~brain's, so absorption would change the doc set."""
+    from hunt_spark.plans.optimize import optimize_query
+    from hunt_spark.plans.parser import parse_query
+
+    q = parse_query("~bra OR ~brain")
+    assert optimize_query(q) == q
