@@ -1004,26 +1004,70 @@ def build_index(
     )
 
     postings_r = catalog.read(spark, "postings")
-    cstats = context_stats(postings_r)
-    stage("context_stats", lambda key: catalog.commit(cstats, "context_stats", key))
-    stage(
-        "term_stats",
-        lambda key: catalog.commit(
-            term_stats(postings_r), "term_stats", key,
-            partition_by=None, sort_within_by=["context", "term_lc"],
-        ),
-    )
-    # sorted by term_lc so the completion path's startswith predicate
-    # prunes via parquet row-group min/max — no hive partitioning (a
-    # prefix never maps to one hash shard)
-    stage(
-        "term_totals",
-        lambda key: catalog.commit(
-            term_totals(postings_r), "term_totals", key,
-            partition_by=None, sort_within_by=["context", "term_lc"],
-        ),
-    )
 
+    def _concurrent(named_fns: list[tuple[str, object]]) -> None:
+        """Run independent stages as concurrent Spark jobs (one driver
+        thread each). The small aggregations are TASK-starved on wide
+        clusters — context_stats is a handful of tasks that leave most
+        slots idle while the sequential schedule waits; overlapping
+        them fills the idle slots at 4N where it matters (at N the
+        cores are saturated either way), which is exactly the shape of
+        the measured 2→8 scaling gap (run 11: context_stats 2.2x,
+        term_totals 2.5x of ideal 4x vs postings 2.8x). Stage names
+        stay distinct, commits append under the manifest lock, and the
+        resume contract is unchanged (each thread goes through
+        stage())."""
+        import threading as _threading
+
+        errs: list[BaseException] = []
+
+        def _run(nm, fn):
+            try:
+                stage(nm, fn)
+            except BaseException as e:  # re-raised on the caller
+                errs.append(e)
+
+        ts = [
+            _threading.Thread(target=_run, args=(nm, fn), daemon=True)
+            for nm, fn in named_fns
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if errs:
+            raise errs[0]
+
+    # phase A — the three stats aggregations, all reading postings_r,
+    # no cross-dependency. (term_stats/term_totals sorted by term_lc so
+    # the completion path's startswith predicate prunes via parquet
+    # row-group min/max — no hive partitioning; a prefix never maps to
+    # one hash shard.)
+    cstats = context_stats(postings_r)
+    _concurrent([
+        (
+            "context_stats",
+            lambda key: catalog.commit(cstats, "context_stats", key),
+        ),
+        (
+            "term_stats",
+            lambda key: catalog.commit(
+                term_stats(postings_r), "term_stats", key,
+                partition_by=None, sort_within_by=["context", "term_lc"],
+            ),
+        ),
+        (
+            "term_totals",
+            lambda key: catalog.commit(
+                term_totals(postings_r), "term_totals", key,
+                partition_by=None, sort_within_by=["context", "term_lc"],
+            ),
+        ),
+    ])
+
+    # phase B — blocks and term_dict both depend on committed phase-A
+    # artifacts, not on each other
+    phase_b: list[tuple[str, object]] = []
     if cfg.build_blocks:
         blocks = build_blocks(
             spark,
@@ -1032,23 +1076,26 @@ def build_index(
             catalog.read(spark, "context_stats"),
             cfg,
         )
-        stage(
+        phase_b.append((
             "blocks",
             lambda key: catalog.commit(
                 blocks, "blocks", key,
-                partition_by=["context", "shard"], sort_within_by=["term_lc", "block_id"],
+                partition_by=["context", "shard"],
+                sort_within_by=["term_lc", "block_id"],
             ),
-        )
-
+        ))
     if cfg.build_term_dict:
         from hunt_spark.functions.frontcode import build_term_dict
 
         tdict = build_term_dict(catalog.read(spark, "term_stats"), cfg.n_shards)
-        stage(
+        phase_b.append((
             "term_dict",
             lambda key: catalog.commit(
                 tdict, "term_dict", key,
-                partition_by=["context", "shard"], sort_within_by=["first_term"],
+                partition_by=["context", "shard"],
+                sort_within_by=["first_term"],
             ),
-        )
+        ))
+    if phase_b:
+        _concurrent(phase_b)
     return entries
