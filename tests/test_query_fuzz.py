@@ -85,3 +85,14 @@ def test_fuzz_print_parse_select_identity(engine, seed):
     got = {r["doc_id"] for r in engine.select(ast).collect()}
     rep = {r["doc_id"] for r in engine.select(reparsed).collect()}
     assert got == rep, f"ast={ast!r} printed={printed!r} reparsed={reparsed!r}"
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_json_wire_roundtrip(seed):
+    """Grammar.hs ToJSON/FromJSON identity over generated ASTs —
+    driver-only, no Spark."""
+    from hunt_spark.plans.ast import query_from_json, query_to_json
+
+    rng = random.Random(seed * 31337 + 5)
+    ast = _gen(rng, 3)
+    assert query_from_json(query_to_json(ast)) == ast
