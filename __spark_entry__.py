@@ -1102,7 +1102,11 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM e
             )
-            SELECT user_id, session_id,
+            -- CAST: DuckDB types a windowed sum() of integers as
+            -- HUGEINT, which the pandas fetch path converts to
+            -- float64 ("3.0" vs Spark's int64 "3") — the one
+            -- engine-specific column in the whole oracle surface
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    epoch_us(min(ts)) AS start_us,
                    epoch_us(max(ts)) AS end_us,
                    count(*) AS n_events,

@@ -683,8 +683,12 @@ class HuntEngine:
         self._check_contexts(context_cols)
         # decide BEFORE committing: stats can be maintained
         # incrementally (O(batch+vocab)) only when the stored artifacts
-        # exactly describe the pre-insert live doc set
-        stats_were_fresh = refresh_stats and self._stats_fresh()
+        # exactly describe the pre-insert live doc set AND the batch is
+        # provably disjoint from it — the disjointness (no duplicate or
+        # tombstoned doc_ids, which would double-count df/n_docs) is
+        # only enforced when validate_uris is on, so an unvalidated
+        # insert must take the full recompute path to stay exact
+        stats_were_fresh = refresh_stats and validate_uris and self._stats_fresh()
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
         if validate_uris:
             dup = (
@@ -813,13 +817,6 @@ class HuntEngine:
                 partition_by=["context", "shard"],
                 sort_within_by=["term_lc", "doc_id"],
             )
-            # the rewritten base came from the tombstone-filtered view
-            # (self._postings()), so every tombstone is consumed by this
-            # commit — and MUST be cleared, or a pending tombstone for an
-            # updated doc_id would anti-join its fresh rows out (update
-            # of a deleted URI = silently invisible document)
-            empty_t = self.spark.createDataFrame([], "doc_id long")
-            self.catalog.commit(empty_t, "tombstones", "update/tombstones")
         old = self.doc_meta()
         if "description" not in old.columns:
             old = old.withColumn(
@@ -864,6 +861,18 @@ class HuntEngine:
         m = untouched.unionByName(j.select(*sel), allowMissingColumns=True)
         self.catalog.commit(m, "doc_meta", "update/doc_meta")
         if context_cols:
+            # the rewritten postings base came from the tombstone-
+            # filtered view (self._postings()), so every tombstone is
+            # consumed — and MUST be cleared, or a pending tombstone for
+            # an updated doc_id would anti-join its fresh rows out
+            # (update of a deleted URI = silently invisible document).
+            # Cleared only AFTER the doc_meta commit above: catalog
+            # reads pin snapshot paths at construction, so clearing
+            # first would make the doc_meta rewrite anti-join against
+            # an already-empty tombstone set and resurrect every
+            # previously deleted document's metadata.
+            empty_t = self.spark.createDataFrame([], "doc_id long")
+            self.catalog.commit(empty_t, "tombstones", "update/tombstones")
             self._refresh_stats()
         else:
             # description-only update: postings untouched, so every

@@ -139,13 +139,24 @@ def lookup_prefix(term_dict: DataFrame, prefix: str) -> DataFrame:
     (first_term min/max narrows to candidate blocks), then vectorized
     decode + filter.
 
-    Pruning compares only the first len(prefix) chars of first_term, so
-    a block whose first_term itself starts with the prefix can never be
-    excluded — the naive `first_term <= prefix + U+FFFF` bound would
-    drop blocks led by prefix + a supplementary-plane char (> U+FFFF),
-    which \\w+ tokenization can produce."""
+    Pruning compares only the first len(prefix) chars of the block
+    bounds, so a block whose boundary term itself starts with the
+    prefix can never be excluded — the naive `first_term <= prefix +
+    U+FFFF` bound would drop blocks led by prefix + a supplementary-
+    plane char (> U+FFFF), which \\w+ tokenization can produce.
+
+    Two-sided: terms within a block are ascending, so a block can hold
+    a prefix match only when first_term[:L] <= prefix <= last_term[:L]
+    — the upper bound prunes every block strictly past the prefix run
+    (without it, a scan for 'aa' decoded every block of 'b'..'z')."""
     cand = term_dict.filter(
-        F.substring(F.col("first_term"), 1, len(prefix)) <= F.lit(prefix)
+        (F.substring(F.col("first_term"), 1, len(prefix)) <= F.lit(prefix))
+        # coalesce: a legacy block row without last_term (pre-column
+        # snapshot read as null) must stay a candidate, not vanish
+        & F.coalesce(
+            F.substring(F.col("last_term"), 1, len(prefix)) >= F.lit(prefix),
+            F.lit(True),
+        )
     ).select("context", "terms_fc")
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -73,7 +73,14 @@ def main() -> int:
         try:
             rel = con.execute(oracles[name])
             ocols = sorted(d[0] for d in rel.description)
-            orows = rel.fetchall()
+            # fetch via pandas (.df()), NOT fetchall(): the driver's
+            # hasher uses the pandas path, where e.g. a DuckDB HUGEINT
+            # becomes float64 ("3.0") while fetchall() yields a Python
+            # int ("3") — hashing the same bytes as the driver is the
+            # whole point of this checker (the r2-r4 evt_sessionize
+            # local-pass/driver-fail split was exactly this divergence)
+            odf = rel.df()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

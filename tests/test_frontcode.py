@@ -93,3 +93,67 @@ def test_lookup_prefix_lower_bound_pruning(spark, engine, term_dict):
         & (F.col("last_term") >= "z")
     ).count()
     assert kept < term_dict.count()
+
+
+def test_lookup_prefix_upper_bound_pruning(spark, engine, term_dict):
+    """Regression (ADVICE r5 low): last_term was written per block but
+    never read — an early-alphabet prefix decoded every block of
+    'b'..'z'. The two-sided bound (first_term[:L] <= prefix <=
+    last_term[:L]) must strictly tighten the candidate set while
+    returning the exact term set."""
+    prefix = "ab"
+    got = {
+        (r["context"], r["term_lc"])
+        for r in lookup_prefix(term_dict, prefix).collect()
+    }
+    want = {
+        (r["context"], r["term_lc"])
+        for r in engine.catalog.read(spark, "term_stats")
+        .filter(F.col("term_lc").startswith(prefix))
+        .select("context", "term_lc").collect()
+    }
+    assert got == want
+    # strict-pruning evidence on a deterministic layout: one block per
+    # letter — a 'dm' scan must keep exactly the 'd' block. The one-
+    # sided first_term bound kept 'a'..'d' (4 blocks); the last_term
+    # upper bound cuts that to 1. Correctness on the candidate set is
+    # checked through lookup_prefix itself.
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    blocks = spark.createDataFrame(
+        [
+            (
+                "text", 0, f"{c}aa", f"{c}zz", 3,
+                frontcode_encode([f"{c}aa", f"{c}mm", f"{c}zz"]),
+            )
+            for c in letters
+        ],
+        "context string, shard int, first_term string, last_term string, "
+        "n_terms int, terms_fc binary",
+    )
+    assert {r["term_lc"] for r in lookup_prefix(blocks, "dm").collect()} == {
+        "dmm"
+    }
+    L = 2
+    one_sided = blocks.filter(
+        F.substring(F.col("first_term"), 1, L) <= "dm"
+    ).count()
+    two_sided = blocks.filter(
+        (F.substring(F.col("first_term"), 1, L) <= "dm")
+        & (F.substring(F.col("last_term"), 1, L) >= "dm")
+    ).count()
+    assert (one_sided, two_sided) == (4, 1)
+
+
+def test_lookup_prefix_null_last_term_block_stays_candidate(spark):
+    """A legacy block row without last_term (pre-column snapshot read
+    as null) must not be pruned by the upper bound."""
+    blocks = spark.createDataFrame(
+        [
+            ("text", 0, "apple", None, 2, frontcode_encode(["apple", "apricot"])),
+            ("text", 0, "zebra", None, 1, frontcode_encode(["zebra"])),
+        ],
+        "context string, shard int, first_term string, last_term string, "
+        "n_terms int, terms_fc binary",
+    )
+    got = {r["term_lc"] for r in lookup_prefix(blocks, "ap").collect()}
+    assert got == {"apple", "apricot"}

@@ -110,3 +110,31 @@ def test_incremental_stats_serve_identical_bm25(spark, eng):
         (r["doc_id"], r["score"]) for r in eng.search("'the'", k=10).collect()
     ]
     assert inc == full
+
+
+def test_unvalidated_insert_takes_full_path_and_stays_exact(
+    spark, eng, monkeypatch
+):
+    """Regression (ADVICE r5 medium): the incremental merge assumes the
+    batch is doc_id-disjoint from the live set, but only
+    validate_uris=True PROVES that — an unvalidated re-insert of an
+    already-indexed URI would double-count df/n_docs on the fast path.
+    Unvalidated inserts must take the full recompute, which counts the
+    duplicated postings the same way any later full recompute would."""
+    called = {"inc": 0, "full": 0}
+    orig_inc = eng._refresh_stats_incremental
+    orig_full = eng._refresh_stats
+    monkeypatch.setattr(
+        eng, "_refresh_stats_incremental",
+        lambda p: (called.__setitem__("inc", called["inc"] + 1), orig_inc(p)),
+    )
+    monkeypatch.setattr(
+        eng, "_refresh_stats",
+        lambda: (called.__setitem__("full", called["full"] + 1), orig_full()),
+    )
+    assert eng._stats_fresh()
+    # re-insert docs 0..9 — already indexed by the fixture's build
+    eng.insert(_batch(spark, 0, 10), {"text": F.col("text")},
+               validate_uris=False)
+    assert called == {"inc": 0, "full": 1}
+    _assert_stats_equal_full_recompute(eng)

@@ -286,3 +286,34 @@ def test_insert_description_only_document(spark, eng):
     eng.insert(docs, {})
     row = eng.doc_meta().filter(F.col("url") == url).first()
     assert row is not None and row["description"]["k"] == "v"
+
+
+def test_update_does_not_resurrect_deleted_docs(spark, eng):
+    """Regression (ADVICE r5 high): update() used to clear the consumed
+    tombstones BEFORE rewriting doc_meta — catalog reads pin snapshot
+    paths at construction, so the doc_meta rewrite anti-joined against
+    an already-emptied tombstone set and resurrected every previously
+    deleted document's metadata (postings-less phantom rows whose URIs
+    then permanently rejected insert with 'already-indexed URI(s)')."""
+    dead = "https://example.org/en/doc00000007"
+    other = "https://example.org/en/doc00000008"
+    eng.delete_docs([dead])
+    assert eng.doc_meta().filter(F.col("url") == dead).count() == 0
+    eng.update(
+        spark.createDataFrame(
+            [(other, "unrelated refreshed content")], "url string, text string"
+        ),
+        {"text": F.col("text")},
+    )
+    # the deleted doc must NOT reappear in doc_meta...
+    assert eng.doc_meta().filter(F.col("url") == dead).count() == 0
+    # ...and its URI must be insertable again (tombstone was consumed
+    # by the update's postings rewrite, metadata stayed dead)
+    eng.insert(
+        spark.createDataFrame(
+            [(dead, "lazarus walks anew")], "url string, text string"
+        ),
+        {"text": F.col("text")},
+    )
+    assert {r["url"] for r in eng.search("'lazarus'", k=5).collect()} == {dead}
+    assert eng.doc_meta().filter(F.col("url") == dead).count() == 1
