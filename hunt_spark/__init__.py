@@ -21,6 +21,7 @@ all per-row work in vectorized Arrow UDFs; no RDDs, no driver loops.
 
 __version__ = "0.1.0"
 
+from hunt_spark.client import HuntClient  # noqa: F401
 from hunt_spark.engine import HuntEngine  # noqa: F401
 from hunt_spark.operators.build import BuildConfig  # noqa: F401
 from hunt_spark.plans.ast import (  # noqa: F401

@@ -23,9 +23,7 @@ import argparse
 import csv
 import json
 import sys
-import urllib.error
 import urllib.parse
-import urllib.request
 
 DEFAULT_URL = "http://localhost:3000"
 
@@ -35,34 +33,16 @@ class CliError(Exception):
 
 
 def _request(base: str, method: str, path: str, payload=None):
-    url = base.rstrip("/") + path
-    data = None if payload is None else json.dumps(payload).encode()
-    req = urllib.request.Request(
-        url, data=data, method=method,
-        headers={"Content-Type": "application/json"} if data else {},
-    )
+    """Raw JSON round-trip via the typed client's transport
+    (hunt_spark.client.HuntClient.request — the CLI keeps raw dicts to
+    pretty-print the wire form verbatim; typed users want HuntClient's
+    dataclass surface instead)."""
+    from hunt_spark.client import HuntClient, HuntClientError
+
     try:
-        with urllib.request.urlopen(req) as r:
-            body = r.read()
-        try:
-            return json.loads(body)
-        except json.JSONDecodeError as e:
-            # a proxy error page / wrong port answering 200 with HTML —
-            # the module contract is stderr + exit 1, not a traceback
-            raise CliError(
-                "Server returned a non-JSON response body\n\n> "
-                + body.decode(errors="replace")[:500]
-            ) from e
-    except urllib.error.HTTPError as e:
-        body = e.read().decode(errors="replace")
-        raise CliError(
-            f"Request failed with code {e.code} and response body\n\n> {body}"
-        ) from e
-    except urllib.error.URLError as e:
-        raise CliError(
-            "Are you sure the Hunt server is running under the given URL? "
-            f"Here is the full error\n\n> {e.reason}"
-        ) from e
+        return HuntClient(base).request(method, path, payload)
+    except HuntClientError as e:
+        raise CliError(str(e)) from e
 
 
 def _read_json(path: str):

@@ -378,8 +378,17 @@ class HuntServer:
     def _completion(self, q: str, mx: int) -> list:
         from hunt_spark.plans.parser import ParseError
 
+        # same serving-cap policy as /search: an explicit limit beyond
+        # the cap is the client's error; unlimited (limit=-1, the
+        # reference's completeAll) clamps to the cap instead of
+        # crashing on .limit(-1)
+        if mx > self.max_k:
+            raise HuntApiError(
+                413, f"limit {mx} exceeds the serving cap {self.max_k}"
+            )
+        k = mx if mx >= 0 else self.max_k
         try:
-            rows = self.engine.complete_query(q, k=mx).collect()
+            rows = self.engine.complete_query(q, k=k).collect()
         except (ParseError, ValueError) as e:
             # bad query text or an unsupported completion shape is the
             # client's error — hunt-server replies 400, not 500
