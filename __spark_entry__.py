@@ -274,6 +274,47 @@ def _q_select(q: str):
     return run
 
 
+def _mm_decode_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec gate body: doc_id -> deterministic uniform PNG
+    (value v = doc_id mod 256, size varied mod 5/7) -> decode_png ->
+    4x4 mean-pooled luma. Uniform pixels make every pooled cell exactly
+    v/255 regardless of the grid geometry, so the oracle derives the
+    features from doc_id in pure SQL while the Spark side runs the
+    whole binary pipeline (encode -> Arrow batch -> chunk parse ->
+    inflate -> unfilter -> pool)."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+
+        from hunt_spark.functions.codecs import encode_png
+
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                v = int(did) % 256  # python %: non-negative (pmod)
+                h = 4 + int(did) % 5
+                w = 4 + int(did) % 7
+                payloads.append(
+                    encode_png(np.full((h, w, 3), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    pay = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = mm.decode_image(pay, dim=16)  # real path (no fake=)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("i", "f")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("f").cast("double") * 10000).cast("long").alias(
+            "luma_x1e4"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- boolean retrieval / posting algebra (SURVEY §2.4-2.5) ---
@@ -469,6 +510,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(F.col("cosine") * 10000).cast("long").alias("cosine_x1e4"),
             )
         ),
+        # --- REAL image decode (r5): stdlib PNG codec end-to-end.
+        # Deterministic uniform-color PNGs are generated per doc_id in
+        # an Arrow kernel, decoded by functions/codecs.decode_png, and
+        # mean-pooled by the real _image_features kernel — a uniform
+        # image pools to exactly v/255 in every grid cell, which SQL
+        # can compute from doc_id alone ---
+        "mm_decode_png": _mm_decode_png_query,
         # --- event-stream sessionization (batch twin of the
         # applyInPandasWithState streaming operator). Gate surface is
         # engine-neutral on purpose: session bounds go out as exact
@@ -1082,6 +1130,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(10000 AS BIGINT) AS cosine_x1e4
             FROM p a JOIN p b ON a.pp = b.pp AND a.doc_id < b.doc_id
+        """,
+        # real PNG decode: a uniform-color image mean-pools to exactly
+        # v/255 in all 16 grid cells (v = pmod(doc_id, 256)); the value
+        # never lands exactly on a .5 rounding boundary (10000*v/255 =
+        # 2000v/51, and 4000v = 51*(odd) has no solution), so the
+        # fixed-point form is engine-stable
+        "mm_decode_png": """
+            WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
+                 i AS (SELECT unnest(generate_series(0, 15)) AS i)
+            SELECT d.doc_id, CAST(i.i AS BIGINT) AS i,
+                   CAST(round(((doc_id % 256 + 256) % 256) / 255.0 * 10000)
+                        AS BIGINT) AS luma_x1e4
+            FROM d CROSS JOIN i
         """,
         "evt_sessionize": """
             WITH e AS (

@@ -91,8 +91,13 @@ def main() -> None:
             times.append(time.time() - t)
         queries[name] = round(statistics.median(times), 4)
 
-    # training-data operators (one timed pass each)
-    for name, fn in {
+    # training-data operators — paired-interleave protocol (r4 verdict:
+    # a single cold pass on a box with multi-x substrate drift reads
+    # 8.07 s where the interleaved median reads 3.03 s; round-robin the
+    # reps so every op samples the same substrate windows, report the
+    # median). Full per-rep history stays in BENCH/op_paired_runs.jsonl
+    # via scripts/bench_op_paired.py.
+    ops = {
         "op_dedup_ngram": lambda: textops.ngram_jaccard_pairs(docs, 0.8).count(),
         "op_dedup_minhash": lambda: textops.minhash_lsh_pairs(docs, 0.8).count(),
         "op_simhash_pairs": lambda: textops.simhash_pairs(docs, 3).count(),
@@ -101,10 +106,15 @@ def main() -> None:
         "op_ann_cosine": lambda: cosine_topk(
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), [0, 1, 2, 3, 4], 5
         ).count(),
-    }.items():
-        t = time.time()
-        fn()
-        queries[name] = round(time.time() - t, 4)
+    }
+    op_times: dict[str, list[float]] = {name: [] for name in ops}
+    for _rep in range(N_REPS):
+        for name, fn in ops.items():
+            t = time.time()
+            fn()
+            op_times[name].append(time.time() - t)
+    for name, times in op_times.items():
+        queries[name] = round(statistics.median(times), 4)
 
     total = round(build_s + sum(queries.values()), 4)
     out = {
@@ -117,6 +127,9 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_s, 1),
         "n_docs": n_docs,
         "cpus": CPUS,
+        "reps": N_REPS,  # queries AND ops: interleaved reps, median
+        "op_protocol": "interleaved round-robin x reps, median per op; "
+                       "per-rep ledger: BENCH/op_paired_runs.jsonl",
         "query_p50_sec": round(
             statistics.median([v for k, v in queries.items() if k.startswith("q_")]), 4
         ),

@@ -71,38 +71,95 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return (raw / 2**31 - 1.0).astype(np.float32)
 
 
-def decode_image(
-    df: DataFrame,
-    payload_col: str = "payload",
-    dim: int = 64,
-    fake: bool = False,
-) -> DataFrame:
-    """payload -> feature vector (array<float>), Arrow-batched.
+def _image_features(payload: bytes, dim: int) -> np.ndarray:
+    """REAL image kernel (stdlib codec, functions/codecs.py): decode
+    PNG -> grayscale -> mean-pool onto a fixed sqrt(dim) x sqrt(dim)
+    grid -> flatten to `dim` floats in [0, 1]. The pooled-luma grid is
+    the classic cheap visual fingerprint (what aHash pools before
+    thresholding); swap in a vision encoder where one exists."""
+    from hunt_spark.functions.codecs import decode_png
 
-    Real codecs (PIL/libvips + a vision encoder) are not available in
-    this environment; ``fake=True`` swaps in ``_fake_features`` so the
-    batch shape, schema and partition behavior are still exercised.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library not present in this "
-            "environment; pass fake=True for the deterministic test kernel"
-        )
-
-    sel = df.select("doc_id", payload_col)
-
-    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            feats = [
-                _fake_features(bytes(p), dim) if p is not None else None
-                for p in b[payload_col]
-            ]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "features": feats})
-
-    return sel.mapInPandas(go, schema=FEAT_SCHEMA)
+    img = decode_png(payload).astype(np.float64)
+    luma = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else img[:, :, 0]
+    g = int(np.sqrt(dim))
+    h, w = luma.shape
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    pooled = np.zeros(g * g, dtype=np.float32)
+    for i in range(g):
+        for j in range(g):
+            cell = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            pooled[i * g + j] = cell.mean() / 255.0
+    out = np.zeros(dim, dtype=np.float32)
+    out[: g * g] = pooled
+    return out
 
 
-decode_audio = decode_image  # same plumbing; real kernels would differ
+def _audio_features(payload: bytes, dim: int) -> np.ndarray:
+    """REAL audio kernel (stdlib codec): decode WAV PCM -> mono ->
+    `dim` windowed RMS-energy values (the standard cheap loudness
+    envelope; a real pipeline would swap in a spectrogram encoder)."""
+    from hunt_spark.functions.codecs import decode_wav
+
+    x, _rate = decode_wav(payload)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, n, dim + 1).astype(int)
+    out = np.zeros(dim, dtype=np.float32)
+    for i in range(dim):
+        seg = mono[edges[i]:max(edges[i + 1], edges[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg.astype(np.float64) ** 2))
+    return out
+
+
+def _decode_op(kernel, kernel_name: str):
+    """Shared Arrow plumbing for payload -> features operators: one
+    mapInPandas pass; a payload the codec rejects yields features=NULL
+    (at 100 TB corrupt blobs are routine — one bad row must not fail
+    the job; count nulls downstream to monitor decode health)."""
+
+    def op(
+        df: DataFrame,
+        payload_col: str = "payload",
+        dim: int = 64,
+        fake: bool = False,
+    ) -> DataFrame:
+        sel = df.select("doc_id", payload_col)
+
+        def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                feats = []
+                for p in b[payload_col]:
+                    if p is None:
+                        feats.append(None)
+                        continue
+                    if fake:
+                        feats.append(_fake_features(bytes(p), dim))
+                        continue
+                    try:
+                        feats.append(kernel(bytes(p), dim))
+                    except ValueError:
+                        feats.append(None)  # undecodable payload
+                yield pd.DataFrame({"doc_id": b["doc_id"], "features": feats})
+
+        return sel.mapInPandas(go, schema=FEAT_SCHEMA)
+
+    op.__name__ = kernel_name
+    return op
+
+
+#: payload -> feature vector (array<float>), Arrow-batched. The REAL
+#: path decodes stdlib-supported formats (PNG for images, PCM WAV for
+#: audio — functions/codecs.py); undecodable payloads yield NULL
+#: features. ``fake=True`` keeps the deterministic digest kernel for
+#: oracle-checked plumbing tests. Formats needing external codec libs
+#: (JPEG/MP3/H.264) remain out of scope in this environment — the
+#: sandbox installs no PIL/soundfile (pinned env note, r5).
+decode_image = _decode_op(_image_features, "decode_image")
+decode_audio = _decode_op(_audio_features, "decode_audio")
 
 
 def frame_sample(

@@ -87,3 +87,76 @@ def test_stream_sessions_match_batch_twin(spark, paths):
         key = (r["user_id"], r["start_ts"])
         if key in got_v:
             assert got_v[key] == r["value_sum_x100"]
+
+
+@pytest.mark.slow
+def test_state_bounded_under_key_explosion(spark, tmp_path_factory):
+    """Adversarial key cardinality (the 100x-scale claim, evidenced):
+    a micro-batch carrying 5*10^4 DISTINCT user_ids (the full 10^6 run
+    via SESS_EXPLODE_KEYS=1000000 — minutes on this box, run once per
+    round, recorded in BENCH/state_explosion.json) must (a) hold at most
+    one bounded state row per key (5 scalars — no per-event growth),
+    and (b) evict ALL of it through the event-time timeout once the
+    watermark passes, emitting every session exactly once. At 10^12
+    events the state store only ever holds the open-session frontier,
+    not history."""
+    import os
+
+    n_users = int(os.environ.get("SESS_EXPLODE_KEYS", "50000"))
+    root = tmp_path_factory.mktemp("sess_explode")
+    src, ckpt = str(root / "events"), str(root / "ckpt")
+    # file 1: one event per user at T0 (distributed generate — a 10^6
+    # python-tuple createDataFrame would serialize on the driver)
+    t0_s = int(T0.timestamp())
+    (
+        spark.range(n_users)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(t0_s)).alias("ts"),
+            F.col("id").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .coalesce(4)
+        .write.mode("append").parquet(src)
+    )
+    # file 2: a single event 2 days later — its event time drags the
+    # watermark past every file-1 session's end + gap
+    spark.createDataFrame(
+        [_mk(n_users + 1, 60 * 48, n_users + 1, 0.25)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 4
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_explode_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # (b) every file-1 session flushed via timeout, exactly once
+    agg = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id) AS u, "
+        "sum(n_events) AS e FROM sess_explode_out "
+        f"WHERE user_id < {n_users}"
+    ).first()
+    assert (agg["n"], agg["u"], agg["e"]) == (n_users, n_users, n_users)
+    # (a) the state store never exceeded one row per live key, and the
+    # timeout pass removed the whole 10^6-key frontier — only the
+    # file-2 user's still-open session may remain
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses
+    peak = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+    assert peak <= n_users + 1
+    final = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final <= 1, f"state not evicted: {final} rows remain"
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    assert removed >= n_users
