@@ -200,6 +200,15 @@ def main() -> None:
                          "windows at 0.30-0.89 — the gate samples the "
                          "substrate regime a real 4N cluster provides "
                          "unconditionally). 0 disables.")
+    ap.add_argument("--min-alu", type=float, default=0.0,
+                    help="clean-window gate on the ALU control instead "
+                         "(r5 finding: across every gated pair the raw "
+                         "Spark efficiency tracked the ALU control at "
+                         "0.95-0.99x, while the bw control read >1.0 — "
+                         "superlinear, i.e. the CONTROL was the noisy "
+                         "measurement; the ALU probe is the steadier "
+                         "window detector). Requires alu >= this pre- "
+                         "AND post-pair. 0 disables.")
     ap.add_argument("--window-retries", type=int, default=10,
                     help="per pair: re-probe the bw control this many "
                          "times (60 s apart) waiting for a clean window "
@@ -252,17 +261,24 @@ def main() -> None:
         import time as _time
 
         bw = bw_scaling_control(n, n4)
+        hw = hw_scaling_control(n, n4)
         attempts = 1
-        while args.min_bw and bw["efficiency"] < args.min_bw \
-                and attempts <= args.window_retries:
-            print(f"  window dirty (bw {bw['efficiency']} < {args.min_bw}), "
+        while attempts <= args.window_retries and (
+            (args.min_bw and bw["efficiency"] < args.min_bw)
+            or (args.min_alu and hw["efficiency"] < args.min_alu)
+        ):
+            print(f"  window dirty (bw {bw['efficiency']}, "
+                  f"alu {hw['efficiency']}; gates bw>={args.min_bw} "
+                  f"alu>={args.min_alu}), "
                   f"probe {attempts}/{args.window_retries}; waiting 60s",
                   flush=True)
             _time.sleep(60)
             bw = bw_scaling_control(n, n4)
+            hw = hw_scaling_control(n, n4)
             attempts += 1
-        clean = (not args.min_bw) or bw["efficiency"] >= args.min_bw
-        hw = hw_scaling_control(n, n4)
+        clean = ((not args.min_bw) or bw["efficiency"] >= args.min_bw) and (
+            (not args.min_alu) or hw["efficiency"] >= args.min_alu
+        )
         last = rep == args.reps - 1
         m_n = run_job(zpath, args.corpus, n, queries=last,
                       from_html=args.from_html,
@@ -282,8 +298,12 @@ def main() -> None:
         bw_post = bw_scaling_control(n, n4) if args.min_bw else None
         if bw_post is not None:
             clean = clean and bw_post["efficiency"] >= args.min_bw
+        alu_post = hw_scaling_control(n, n4) if args.min_alu else None
+        if alu_post is not None:
+            clean = clean and alu_post["efficiency"] >= args.min_alu
         pairs.append({
-            "hw": hw, "bw": bw, "bw_post": bw_post, "clean": clean,
+            "hw": hw, "bw": bw, "bw_post": bw_post, "alu_post": alu_post,
+            "clean": clean,
             "N": m_n, "4N": m_4n,
             "eff": round(eff, 3), "core_eff": core_eff,
             "eff_vs_hw": round(eff / hw["efficiency"], 3)
@@ -294,6 +314,7 @@ def main() -> None:
         print(f"pair {rep + 1}/{args.reps}: raw {pairs[-1]['eff']} "
               f"alu {hw['efficiency']} bw {bw['efficiency']} "
               f"bw_post {bw_post['efficiency'] if bw_post else '-'} "
+              f"alu_post {alu_post['efficiency'] if alu_post else '-'} "
               f"clean {clean} "
               f"norm_alu {pairs[-1]['eff_vs_hw']} "
               f"norm_bw {pairs[-1]['eff_vs_bw']}",
@@ -317,6 +338,8 @@ def main() -> None:
             {"eff": p["eff"], "core_eff": p["core_eff"],
              "hw": p["hw"]["efficiency"], "bw": p["bw"]["efficiency"],
              "bw_post": p["bw_post"]["efficiency"] if p["bw_post"] else None,
+             "alu_post": p["alu_post"]["efficiency"]
+             if p["alu_post"] else None,
              "clean": p["clean"],
              "eff_vs_hw": p["eff_vs_hw"], "eff_vs_bw": p["eff_vs_bw"],
              "build_sec_n": p["N"]["build_sec"],
@@ -324,6 +347,7 @@ def main() -> None:
             for p in pairs
         ],
         "min_bw_gate": args.min_bw or None,
+        "min_alu_gate": args.min_alu or None,
         "n_clean_pairs": sum(1 for p in pairs if p["clean"]),
         "N": m_n,
         "4N": m_4n,
@@ -357,6 +381,7 @@ def main() -> None:
             "n_docs": m_n["n_docs"], "n": n,
             "pairs": result["pairs"],
             "min_bw_gate": args.min_bw or None,
+            "min_alu_gate": args.min_alu or None,
             "n_clean_pairs": result["n_clean_pairs"],
             "raw_median": result["scaling_efficiency"],
             "alu_median": result["hw_control_efficiency"],
@@ -405,13 +430,14 @@ def main() -> None:
         "back-to-back, and the headline is the median pair with the "
         "full spread disclosed:",
         "",
-        "| pair | build s @N | build s @4N | raw eff | core eff | alu ceiling | bw ceiling | bw after | clean |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| pair | build s @N | build s @4N | raw eff | core eff | alu ceiling | bw ceiling | bw after | alu after | clean |",
+        "|---|---|---|---|---|---|---|---|---|---|",
         *[
             f"| {i + 1} | {p['N']['build_sec']} | {p['4N']['build_sec']} | "
             f"{p['eff']} | {p['core_eff']} | {p['hw']['efficiency']} | "
             f"{p['bw']['efficiency']} | "
             f"{p['bw_post']['efficiency'] if p['bw_post'] else '—'} | "
+            f"{p['alu_post']['efficiency'] if p['alu_post'] else '—'} | "
             f"{'✔' if p['clean'] else '✘'} |"
             for i, p in enumerate(pairs)
         ],
