@@ -274,6 +274,31 @@ def _q_select(q: str):
     return run
 
 
+def _crawl_frontier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler gate (S3, hunt-crawler/Core.hs): distributed BFS over the
+    deterministic synthetic site (sources/crawler.synthetic_site) —
+    page i links to (2i+1)%n, (3i+7)%n and, via a RELATIVE href, its
+    same-host successor i+3; each host's robots.txt
+    disallows pages with i%17==3 (taken-but-never-fetched, never
+    expanded). Output is (doc_id, level) = the fetched set with BFS
+    min-levels; the oracle walks the same arithmetic graph with a
+    recursive CTE. Independent of sf_dir by construction (the site is
+    synthesized, not read — no external data)."""
+    from hunt_spark.sources.crawler import CrawlConfig, crawl, synthetic_site
+
+    n = 240
+    docs = crawl(spark, CrawlConfig(
+        seeds=["http://h0.test/d000000"],
+        fetcher=synthetic_site(n),
+        follow_allow=[r"^http://h\d+\.test/d"],
+        batch_docs=4096,
+    ))
+    return docs.select(
+        F.regexp_extract("url", r"/d(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("level").cast("long").alias("level"),
+    )
+
+
 def _mm_decode_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec gate body: doc_id -> deterministic uniform PNG
     (value v = doc_id mod 256, size varied mod 5/7) -> decode_png ->
@@ -517,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image pools to exactly v/255 in every grid cell, which SQL
         # can compute from doc_id alone ---
         "mm_decode_png": _mm_decode_png_query,
+        # --- crawler frontier (S3): leveled BFS with robots gating
+        # over the deterministic synthetic site ---
+        "crawl_frontier": _crawl_frontier_query,
         # --- event-stream sessionization (batch twin of the
         # applyInPandasWithState streaming operator). Gate surface is
         # engine-neutral on purpose: session bounds go out as exact
@@ -1143,6 +1171,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(((doc_id % 256 + 256) % 256) / 255.0 * 10000)
                         AS BIGINT) AS luma_x1e4
             FROM d CROSS JOIN i
+        """,
+        # crawler BFS: the same arithmetic link graph as synthetic_site
+        # (page i -> (2i+1)%n, (3i+7)%n, and the same-host relative
+        # successor i+3), robots-disallowed pages (i%17==3) excluded
+        # from both emission and expansion; min BFS level through
+        # allowed nodes via a recursive CTE. The lvl<240 recursion cap
+        # only bounds cycle walks — every true min level is below it
+        "crawl_frontier": """
+            WITH RECURSIVE edges AS (
+              SELECT i AS src, (2*i + 1) % 240 AS dst FROM range(240) t(i)
+              UNION ALL
+              SELECT i, (3*i + 7) % 240 FROM range(240) t(i)
+              UNION ALL
+              SELECT i, i + 3 FROM range(237) t(i)
+            ),
+            reach(id, lvl) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst, r.lvl + 1
+              FROM reach r JOIN edges e ON e.src = r.id
+              WHERE e.dst % 17 <> 3 AND r.lvl < 240
+            )
+            SELECT id AS doc_id, CAST(min(lvl) AS BIGINT) AS level
+            FROM reach GROUP BY id
         """,
         "evt_sessionize": """
             WITH e AS (

@@ -1,0 +1,281 @@
+"""hunt-crawler counterpart (S3): distributed BFS crawl semantics.
+
+Pins the Core.hs loop behaviors — leveled BFS with min-level union,
+budget and click-level caps, robots.txt gating (processed-but-not-
+fetched), follow-ref allow/deny, redirect real-URI accounting,
+checkpoint/resume — against a pure-Python reference BFS over the same
+deterministic synthetic site, plus the IndexerCore hand-off (crawl ->
+documents table -> index build -> query).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.sources.crawler import (
+    CrawlConfig,
+    Crawler,
+    crawl,
+    crawl_to_documents,
+    extract_refs,
+    parse_robots_txt,
+    robots_disallow,
+    synthetic_site,
+)
+
+N = 120
+FOLLOW = [r"^http://h\d+\.test/d"]
+
+
+def url_of(i: int, n_hosts: int = 3) -> str:
+    return f"http://h{i % n_hosts}.test/d{i:06d}"
+
+
+def links_of(i: int, n: int = N) -> list[int]:
+    out = [(2 * i + 1) % n, (3 * i + 7) % n]
+    if i + 3 < n:  # the same-host relative "next" link (n_hosts = 3)
+        out.append(i + 3)
+    return out
+
+
+def reference_bfs(
+    n: int,
+    seed: int,
+    max_depth: int = 10**9,
+    disallowed=frozenset(),
+) -> dict[int, int]:
+    """Min-level BFS where disallowed nodes are neither emitted nor
+    expanded (the reference marks them processed and drops them,
+    Core.hs:172-173) — returns {doc_id: level} of fetched pages."""
+    levels: dict[int, int] = {}
+    seen = {seed}
+    frontier = [(seed, 0)]
+    while frontier:
+        nxt = []
+        for i, lev in frontier:
+            if i in disallowed:
+                continue
+            levels[i] = lev
+            if lev >= max_depth:
+                continue
+            for t in links_of(i, n):
+                if t not in seen:
+                    seen.add(t)
+                    nxt.append((t, lev + 1))
+        frontier = sorted(nxt)
+    return levels
+
+
+# ---------------------------------------------------------------------------
+# pure parts
+
+
+def test_parse_robots_txt_section_selection():
+    txt = (
+        "# comment\n"
+        "User-agent: other-bot\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: hunt\n"
+        "Allow: /public  # trailing comment\n"
+        "Disallow: /\n"
+        "Sitemap: http://x/sitemap.xml\n"
+        "User-agent: *\n"
+        "Disallow: /all\n"
+    )
+    # agent-prefix match picks the 'hunt' section only (Robots.hs:176-183)
+    assert parse_robots_txt("hunt-spark", txt) == [
+        ("/public", True), ("/", False),
+    ]
+    # no agent match falls through to the * section
+    assert parse_robots_txt("zzz", txt) == [("/all", False)]
+
+
+def test_robots_disallow_first_match_wins():
+    rules = [("/public", True), ("/", False)]
+    assert not robots_disallow(rules, "/public/page")
+    assert robots_disallow(rules, "/other")
+    # empty prefix never matches (Robots.hs:73 'not (null r)')
+    assert not robots_disallow([("", False)], "/anything")
+    assert not robots_disallow([], "/anything")
+
+
+def test_extract_refs():
+    html = (
+        b'<html><body><a href="/x#frag">a</a>'
+        b'<frame src="http://other.test/f">'
+        b'<iframe src="sub/page"></iframe>'
+        b'<img src="/not-a-ref.png"><a name="anchor">no href</a>'
+        b"</body></html>"
+    )
+    assert extract_refs(html, "http://h.test/base/doc") == [
+        "http://h.test/x",
+        "http://other.test/f",
+        "http://h.test/base/sub/page",
+    ]
+    assert extract_refs(None, "http://h.test/") == []
+
+
+# ---------------------------------------------------------------------------
+# the crawl loop vs the reference BFS
+
+
+def disallowed_ids(n: int = N, mod: int = 17, rem: int = 3) -> set[int]:
+    return {i for i in range(n) if i % mod == rem}
+
+
+def crawl_result(spark, **kw) -> dict[int, int]:
+    defaults = dict(
+        seeds=[url_of(0)],
+        fetcher=synthetic_site(N),
+        follow_allow=FOLLOW,
+        batch_docs=64,
+    )
+    defaults.update(kw)
+    docs = crawl(spark, CrawlConfig(**defaults))
+    rows = docs.select(
+        F.regexp_extract("url", r"/d(\d+)$", 1).cast("int").alias("id"),
+        "level",
+    ).collect()
+    return {r["id"]: r["level"] for r in rows}
+
+
+def test_crawl_bfs_levels_and_robots(spark):
+    got = crawl_result(spark)
+    want = reference_bfs(N, 0, disallowed=disallowed_ids())
+    assert got == want
+    # robots actually excluded something reachable
+    assert disallowed_ids() & set(reference_bfs(N, 0))
+
+
+def test_crawl_respects_max_depth(spark):
+    got = crawl_result(spark, max_depth=2)
+    want = reference_bfs(N, 0, max_depth=2, disallowed=disallowed_ids())
+    assert got == want
+    assert got and max(got.values()) <= 2
+
+
+def test_crawl_budget_counts_taken_uris(spark):
+    # maxNoOfDocs caps PROCESSED uris, robots-rejected included
+    # (Core.hs:165-168); with batch=budget=10 exactly 10 are taken
+    got = crawl_result(spark, max_docs=10, batch_docs=10)
+    assert len(got) <= 10
+    full = crawl_result(spark)
+    assert set(got) <= set(full)
+    for i, lev in got.items():
+        assert full[i] == lev
+
+
+def test_follow_deny(spark):
+    # deny odd-numbered pages: they are never fetched, and pages only
+    # reachable through them disappear too
+    got = crawl_result(spark, follow_deny=[r"/d\d*[13579]$"])
+    assert got
+    for i in got:
+        assert i % 2 == 0 or i == 0
+    assert set(got) < set(reference_bfs(N, 0, disallowed=disallowed_ids()))
+
+
+def test_no_follow_allow_crawls_only_seeds(spark):
+    # cc_followRef = const False by default (Types.hs:249)
+    got = crawl_result(spark, follow_allow=[])
+    assert set(got) == {0}
+
+
+def test_redirects_mark_real_uri(spark):
+    # every 7th page redirects to its successor; the doc table is keyed
+    # by the real URI, each real URI appears once, and the redirect
+    # TARGET is also marked processed (never fetched twice)
+    fetcher = synthetic_site(N, redirect_mod=7)
+    docs = crawl(spark, CrawlConfig(
+        seeds=[url_of(0)], fetcher=fetcher,
+        follow_allow=FOLLOW, batch_docs=64,
+    ))
+    rows = docs.select("url").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+    # redirect sources (i % 7 == 6) never appear as doc URIs: fetching
+    # them yields the TARGET's real URI (and fetching them directly
+    # still redirects), so no doc row carries a redirecting URI
+    for u in urls:
+        i = int(u.rsplit("/d", 1)[1])
+        assert i % 7 != 6
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from hunt_spark.sources.catalog import IndexCatalog
+
+    want = reference_bfs(N, 0, disallowed=disallowed_ids())
+
+    cat = IndexCatalog(str(tmp_path / "crawl_state"))
+    cfg = dict(
+        seeds=[url_of(0)], fetcher=synthetic_site(N),
+        follow_allow=FOLLOW, batch_docs=16, save_interval=16,
+    )
+    # phase 1: stop mid-crawl on the doc budget
+    partial = crawl(spark, CrawlConfig(max_docs=48, **cfg), catalog=cat)
+    n_partial = partial.count()
+    assert 0 < n_partial < len(want)
+    assert cat.snapshots("crawl_frontier")
+    # phase 2: resume from the committed state with the full budget
+    resumed = crawl(
+        spark, CrawlConfig(**cfg), catalog=cat, resume=True
+    )
+    rows = resumed.select(
+        F.regexp_extract("url", r"/d(\d+)$", 1).cast("int").alias("id"),
+        "level",
+    ).collect()
+    assert {r["id"]: r["level"] for r in rows} == want
+
+
+def test_per_host_politeness_cap(spark):
+    # capping per-host take changes scheduling, not the result set
+    got = crawl_result(spark, per_host_cap=4, batch_docs=12)
+    assert got == reference_bfs(N, 0, disallowed=disallowed_ids())
+
+
+def test_crawl_feeds_index_build(spark, tmp_path):
+    # the IndexerCore hand-off (IndexerCore.hs:41-48): crawl output ->
+    # documents table -> index build -> a term from a crawled page hits
+    from hunt_spark.engine import HuntEngine
+    from hunt_spark.operators.build import BuildConfig
+
+    docs = crawl(spark, CrawlConfig(
+        seeds=[url_of(0)], fetcher=synthetic_site(N),
+        follow_allow=FOLLOW, batch_docs=64, max_docs=40,
+    ))
+    table = crawl_to_documents(docs)
+    assert table.columns == ["url", "warc_ts", "html", "text", "lang"]
+    eng = HuntEngine(
+        spark, str(tmp_path / "idx"),
+        BuildConfig(n_shards=2, salt_buckets=1, block_size=64),
+    )
+    html = F.col("html").cast("string")
+    eng.build(
+        table,
+        {
+            "title": F.regexp_extract(html, "<title>(.*?)</title>", 1),
+            "body": F.regexp_extract(html, "<body>(.*?)</body>", 1),
+        },
+        build_id="crawl",
+    )
+    hits = eng.search("synthetic", k=10)
+    assert hits.count() > 0
+
+
+def test_unfetchable_urls_do_not_kill_the_crawl(spark):
+    # a fetcher exception becomes a status=-1 row: no doc, no refs
+    site = synthetic_site(N)
+
+    def flaky(url: str):
+        i = url.rsplit("/d", 1)
+        if len(i) == 2 and i[1].isdigit() and int(i[1]) == 1:
+            raise OSError("connection reset")
+        return site(url)
+
+    got = crawl_result(spark, fetcher=flaky)
+    want = reference_bfs(N, 0, disallowed=disallowed_ids() | {1})
+    # node 1 consumed budget but produced nothing; nodes only reachable
+    # via it are absent
+    assert got == {i: l for i, l in want.items()}
