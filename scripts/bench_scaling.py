@@ -213,6 +213,21 @@ def main() -> None:
                     help="per pair: re-probe the bw control this many "
                          "times (60 s apart) waiting for a clean window "
                          "before running the pair anyway (flagged dirty)")
+    ap.add_argument("--settle-sec", type=int, default=30,
+                    help="sleep before the post-pair probes: the 4N "
+                         "job's teardown (pyspark daemon exit, page-"
+                         "cache reclaim of the written index) depresses "
+                         "a probe taken the instant spark-submit "
+                         "returns — the 800k ladder measured bw_post "
+                         "0.187-0.58 after every pair while pre-pair "
+                         "bw read 0.94-1.21")
+    ap.add_argument("--post-retries", type=int, default=2,
+                    help="if the post-pair probe is dirty, re-probe up "
+                         "to this many times (60 s apart) and keep the "
+                         "best reading; a reading that recovers within "
+                         "minutes was teardown-transient, sustained "
+                         "contention stays dirty. All readings land in "
+                         "the ledger (bw_post_all/alu_post_all)")
     ap.add_argument("--no-md", action="store_true",
                     help="append to scaling_runs.jsonl but do not "
                          "rewrite BASELINE.md (for exploratory ladders)")
@@ -294,15 +309,45 @@ def main() -> None:
         )
         # post-pair probe: the window must HOLD through the pair, not
         # just open it — a window that closes mid-pair poisons whichever
-        # leg ran inside it
-        bw_post = bw_scaling_control(n, n4) if args.min_bw else None
+        # leg ran inside it. Settle first (JVM/daemon teardown and page-
+        # cache reclaim right after spark-submit returns depress the
+        # probe), then allow a short retry: a reading that recovers
+        # within minutes was teardown-transient, sustained contention
+        # stays dirty. Every reading is recorded.
+        bw_post = alu_post = None
+        bw_post_all: list[float] = []
+        alu_post_all: list[float] = []
+        if args.min_bw or args.min_alu:
+            if args.settle_sec:
+                _time.sleep(args.settle_sec)
+            for attempt in range(1 + max(0, args.post_retries)):
+                if attempt:
+                    _time.sleep(60)
+                cand_bw = bw_scaling_control(n, n4) if args.min_bw else None
+                cand_alu = hw_scaling_control(n, n4) if args.min_alu else None
+                if cand_bw is not None:
+                    bw_post_all.append(cand_bw["efficiency"])
+                    if (bw_post is None
+                            or cand_bw["efficiency"] > bw_post["efficiency"]):
+                        bw_post = cand_bw
+                if cand_alu is not None:
+                    alu_post_all.append(cand_alu["efficiency"])
+                    if (alu_post is None or
+                            cand_alu["efficiency"] > alu_post["efficiency"]):
+                        alu_post = cand_alu
+                ok = ((not args.min_bw)
+                      or bw_post["efficiency"] >= args.min_bw) and (
+                    (not args.min_alu)
+                    or alu_post["efficiency"] >= args.min_alu)
+                if ok:
+                    break
         if bw_post is not None:
             clean = clean and bw_post["efficiency"] >= args.min_bw
-        alu_post = hw_scaling_control(n, n4) if args.min_alu else None
         if alu_post is not None:
             clean = clean and alu_post["efficiency"] >= args.min_alu
         pairs.append({
             "hw": hw, "bw": bw, "bw_post": bw_post, "alu_post": alu_post,
+            "bw_post_all": bw_post_all, "alu_post_all": alu_post_all,
             "clean": clean,
             "N": m_n, "4N": m_4n,
             "eff": round(eff, 3), "core_eff": core_eff,
@@ -340,6 +385,8 @@ def main() -> None:
              "bw_post": p["bw_post"]["efficiency"] if p["bw_post"] else None,
              "alu_post": p["alu_post"]["efficiency"]
              if p["alu_post"] else None,
+             "bw_post_all": p.get("bw_post_all") or None,
+             "alu_post_all": p.get("alu_post_all") or None,
              "clean": p["clean"],
              "eff_vs_hw": p["eff_vs_hw"], "eff_vs_bw": p["eff_vs_bw"],
              "build_sec_n": p["N"]["build_sec"],
