@@ -213,6 +213,16 @@ def main() -> None:
                     help="per pair: re-probe the bw control this many "
                          "times (60 s apart) waiting for a clean window "
                          "before running the pair anyway (flagged dirty)")
+    ap.add_argument("--max-bw", type=float, default=0.0,
+                    help="two-sided gate ceiling: a same-work-per-core "
+                         "control cannot legitimately exceed ~1.0, so a "
+                         "reading like 1.315 (observed) means the N-core "
+                         "leg of the CONTROL was externally slowed — the "
+                         "window is dirty in the other direction. "
+                         "Readings above this ceiling are dirty. "
+                         "0 disables.")
+    ap.add_argument("--max-alu", type=float, default=0.0,
+                    help="same ceiling for the ALU control. 0 disables.")
     ap.add_argument("--settle-sec", type=int, default=30,
                     help="sleep before the post-pair probes: the 4N "
                          "job's teardown (pyspark daemon exit, page-"
@@ -275,25 +285,31 @@ def main() -> None:
         # dirty and excluded from the headline median.
         import time as _time
 
+        def bw_ok(e: float) -> bool:
+            return ((not args.min_bw) or e >= args.min_bw) and (
+                (not args.max_bw) or e <= args.max_bw)
+
+        def alu_ok(e: float) -> bool:
+            return ((not args.min_alu) or e >= args.min_alu) and (
+                (not args.max_alu) or e <= args.max_alu)
+
         bw = bw_scaling_control(n, n4)
         hw = hw_scaling_control(n, n4)
         attempts = 1
-        while attempts <= args.window_retries and (
-            (args.min_bw and bw["efficiency"] < args.min_bw)
-            or (args.min_alu and hw["efficiency"] < args.min_alu)
+        while attempts <= args.window_retries and not (
+            bw_ok(bw["efficiency"]) and alu_ok(hw["efficiency"])
         ):
             print(f"  window dirty (bw {bw['efficiency']}, "
-                  f"alu {hw['efficiency']}; gates bw>={args.min_bw} "
-                  f"alu>={args.min_alu}), "
+                  f"alu {hw['efficiency']}; gates bw "
+                  f"[{args.min_bw}, {args.max_bw or 'inf'}] "
+                  f"alu [{args.min_alu}, {args.max_alu or 'inf'}]), "
                   f"probe {attempts}/{args.window_retries}; waiting 60s",
                   flush=True)
             _time.sleep(60)
             bw = bw_scaling_control(n, n4)
             hw = hw_scaling_control(n, n4)
             attempts += 1
-        clean = ((not args.min_bw) or bw["efficiency"] >= args.min_bw) and (
-            (not args.min_alu) or hw["efficiency"] >= args.min_alu
-        )
+        clean = bw_ok(bw["efficiency"]) and alu_ok(hw["efficiency"])
         last = rep == args.reps - 1
         m_n = run_job(zpath, args.corpus, n, queries=last,
                       from_html=args.from_html,
@@ -325,26 +341,37 @@ def main() -> None:
                     _time.sleep(60)
                 cand_bw = bw_scaling_control(n, n4) if args.min_bw else None
                 cand_alu = hw_scaling_control(n, n4) if args.min_alu else None
+                # keep the best reading: an in-band one beats any out-of-
+                # band one; among out-of-band, higher (the typical dirt
+                # is teardown-depressed readings)
                 if cand_bw is not None:
                     bw_post_all.append(cand_bw["efficiency"])
-                    if (bw_post is None
-                            or cand_bw["efficiency"] > bw_post["efficiency"]):
+                    if bw_post is None or (
+                        bw_ok(cand_bw["efficiency"])
+                        and not bw_ok(bw_post["efficiency"])
+                    ) or (
+                        not bw_ok(bw_post["efficiency"])
+                        and cand_bw["efficiency"] > bw_post["efficiency"]
+                    ):
                         bw_post = cand_bw
                 if cand_alu is not None:
                     alu_post_all.append(cand_alu["efficiency"])
-                    if (alu_post is None or
-                            cand_alu["efficiency"] > alu_post["efficiency"]):
+                    if alu_post is None or (
+                        alu_ok(cand_alu["efficiency"])
+                        and not alu_ok(alu_post["efficiency"])
+                    ) or (
+                        not alu_ok(alu_post["efficiency"])
+                        and cand_alu["efficiency"] > alu_post["efficiency"]
+                    ):
                         alu_post = cand_alu
-                ok = ((not args.min_bw)
-                      or bw_post["efficiency"] >= args.min_bw) and (
-                    (not args.min_alu)
-                    or alu_post["efficiency"] >= args.min_alu)
+                ok = (bw_post is None or bw_ok(bw_post["efficiency"])) and (
+                    alu_post is None or alu_ok(alu_post["efficiency"]))
                 if ok:
                     break
         if bw_post is not None:
-            clean = clean and bw_post["efficiency"] >= args.min_bw
+            clean = clean and bw_ok(bw_post["efficiency"])
         if alu_post is not None:
-            clean = clean and alu_post["efficiency"] >= args.min_alu
+            clean = clean and alu_ok(alu_post["efficiency"])
         pairs.append({
             "hw": hw, "bw": bw, "bw_post": bw_post, "alu_post": alu_post,
             "bw_post_all": bw_post_all, "alu_post_all": alu_post_all,
