@@ -946,11 +946,6 @@ def build_index(
         for c in ("doc_id", "url", "weight", "lang", "warc_ts", "description")
         if c in docs.columns
     ]
-    stage(
-        "doc_meta",
-        lambda key: catalog.commit(docs.select(*meta_cols), "doc_meta", key),
-    )
-
     # context schema registry (Hunt's ContextSchema, kept per Insert/
     # DeleteContext verbs — Interpreter/Command.hs:71-75): makes the
     # context set durable so a reopened engine and runtime context
@@ -966,12 +961,6 @@ def build_index(
         )
         for cx in sorted(context_cols)
     ]
-    stage(
-        "schema",
-        lambda key: catalog.commit(
-            schema_values_df(spark, schema_rows), "schema", key
-        ),
-    )
 
     postings = postings_from_contexts(docs, context_cols, cfg)
     # writer-task spread: the salt must give the shuffle MORE distinct
@@ -986,116 +975,179 @@ def build_index(
     salt_w = max(cfg.salt_buckets, 2 * sc.defaultParallelism)
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_w))
     laid_out = postings.repartition(F.col("context"), F.col("shard"), salt)
-    stage(
-        "postings",
-        lambda key: catalog.commit(
-            laid_out,
-            "postings",
-            key,
-            partition_by=["context", "shard"],
-            sort_within_by=["term_lc", "doc_id"],
-            # layout-critical config rides on the commit: the query
-            # path prunes exact lookups by pmod(xxhash64, n_shards),
-            # so a catalog opened under a DIFFERENT shard count is
-            # silently wrong. load_index reads this from the manifest
-            # when no _index_meta.json exists (direct build catalogs).
-            extra_meta={"n_shards": cfg.n_shards},
-        ),
-    )
 
-    postings_r = catalog.read(spark, "postings")
+    # ---- dependency-scheduled stage graph ----------------------------
+    # Every stage runs on its own driver thread the moment its
+    # dependencies commit (one Spark job per thread; the scheduler
+    # interleaves their tasks). Two scaling effects, both measured on
+    # the 1->4-core ladder:
+    #   * the small aggregations are TASK-starved on wide clusters —
+    #     context_stats is a handful of tasks that leave most slots
+    #     idle while a sequential schedule waits; overlapping fills the
+    #     idle slots at 4N where it matters (run 11: context_stats 2.2x,
+    #     term_totals 2.5x of ideal 4x vs postings 2.8x);
+    #   * barriers waste the tail of every stage — a dependency graph
+    #     lets doc_meta/schema (pure-JVM) run inside the postings
+    #     stage's ramp-up, and term_dict start as soon as term_stats
+    #     commits instead of waiting for term_totals too.
+    # Stage names stay distinct, commits append under the manifest
+    # lock, and the resume contract is unchanged (each thread goes
+    # through stage()).
+    import threading
 
-    def _concurrent(named_fns: list[tuple[str, object]]) -> None:
-        """Run independent stages as concurrent Spark jobs (one driver
-        thread each). The small aggregations are TASK-starved on wide
-        clusters — context_stats is a handful of tasks that leave most
-        slots idle while the sequential schedule waits; overlapping
-        them fills the idle slots at 4N where it matters (at N the
-        cores are saturated either way), which is exactly the shape of
-        the measured 2→8 scaling gap (run 11: context_stats 2.2x,
-        term_totals 2.5x of ideal 4x vs postings 2.8x). Stage names
-        stay distinct, commits append under the manifest lock, and the
-        resume contract is unchanged (each thread goes through
-        stage())."""
-        import threading as _threading
+    errs: list[BaseException] = []
+    names = ["doc_meta", "schema", "postings",
+             "context_stats", "term_stats", "term_totals"]
+    if cfg.build_blocks:
+        names.append("blocks")
+    if cfg.build_term_dict:
+        names.append("term_dict")
+    done_ev = {nm: threading.Event() for nm in names}
 
-        errs: list[BaseException] = []
-
-        def _run(nm, fn):
+    def _node(name: str, deps: list[str], fn) -> threading.Thread:
+        def _run():
             try:
-                stage(nm, fn)
+                for d in deps:
+                    done_ev[d].wait()
+                if not errs:  # a failed dependency poisons dependents
+                    stage(name, fn)
             except BaseException as e:  # re-raised on the caller
                 errs.append(e)
+            finally:
+                done_ev[name].set()
 
-        ts = [
-            _threading.Thread(target=_run, args=(nm, fn), daemon=True)
-            for nm, fn in named_fns
-        ]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
-        if errs:
-            raise errs[0]
+        return threading.Thread(target=_run, name=f"build-{name}", daemon=True)
 
-    # phase A — the three stats aggregations, all reading postings_r,
-    # no cross-dependency. (term_stats/term_totals sorted by term_lc so
-    # the completion path's startswith predicate prunes via parquet
-    # row-group min/max — no hive partitioning; a prefix never maps to
-    # one hash shard.)
-    cstats = context_stats(postings_r)
-    _concurrent([
-        (
+    # the first pandas/Arrow stage pays Python-worker spawn + numpy/
+    # pandas/pyarrow imports + first-batch pipeline setup — a core-
+    # count-invariant constant (measured ~12 s at 4 cores / 200k docs:
+    # map-only pass cold 23.7 s vs warm 11.5 s) that lands squarely in
+    # the Amdahl serial component of a fresh spark-submit. Pre-import
+    # in every reused worker concurrently with the JVM-only head
+    # stages so the postings kernel starts hot. A real cluster gets
+    # this from long-lived executors; a fresh-JVM build job has to
+    # overlap it explicitly.
+    def _warm_kernel(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from batches
+
+    n_warm = 2 * spark.sparkContext.defaultParallelism
+
+    def _warm():
+        try:
+            spark.range(n_warm, numPartitions=n_warm).mapInArrow(
+                _warm_kernel, "id long"
+            ).count()
+        except Exception:  # pragma: no cover — warmup is best-effort
+            pass
+
+    warm_t = threading.Thread(target=_warm, name="build-warmup", daemon=True)
+
+    def _postings_r() -> DataFrame:
+        return catalog.read(spark, "postings")
+
+    # term_stats/term_totals sorted by term_lc so the completion path's
+    # startswith predicate prunes via parquet row-group min/max — no
+    # hive partitioning; a prefix never maps to one hash shard.
+    threads = [
+        _node(
+            "doc_meta",
+            [],
+            lambda key: catalog.commit(docs.select(*meta_cols), "doc_meta", key),
+        ),
+        _node(
+            "schema",
+            [],
+            lambda key: catalog.commit(
+                schema_values_df(spark, schema_rows), "schema", key
+            ),
+        ),
+        _node(
+            "postings",
+            [],
+            lambda key: catalog.commit(
+                laid_out,
+                "postings",
+                key,
+                partition_by=["context", "shard"],
+                sort_within_by=["term_lc", "doc_id"],
+                # layout-critical config rides on the commit: the query
+                # path prunes exact lookups by pmod(xxhash64, n_shards),
+                # so a catalog opened under a DIFFERENT shard count is
+                # silently wrong. load_index reads this from the manifest
+                # when no _index_meta.json exists (direct build catalogs).
+                extra_meta={"n_shards": cfg.n_shards},
+            ),
+        ),
+        _node(
             "context_stats",
-            lambda key: catalog.commit(cstats, "context_stats", key),
+            ["postings"],
+            lambda key: catalog.commit(
+                context_stats(_postings_r()), "context_stats", key
+            ),
         ),
-        (
+        _node(
             "term_stats",
+            ["postings"],
             lambda key: catalog.commit(
-                term_stats(postings_r), "term_stats", key,
+                term_stats(_postings_r()), "term_stats", key,
                 partition_by=None, sort_within_by=["context", "term_lc"],
             ),
         ),
-        (
+        _node(
             "term_totals",
+            ["postings"],
             lambda key: catalog.commit(
-                term_totals(postings_r), "term_totals", key,
+                term_totals(_postings_r()), "term_totals", key,
                 partition_by=None, sort_within_by=["context", "term_lc"],
             ),
         ),
-    ])
-
-    # phase B — blocks and term_dict both depend on committed phase-A
-    # artifacts, not on each other
-    phase_b: list[tuple[str, object]] = []
+    ]
     if cfg.build_blocks:
-        blocks = build_blocks(
-            spark,
-            postings_r,
-            catalog.read(spark, "term_stats"),
-            catalog.read(spark, "context_stats"),
-            cfg,
-        )
-        phase_b.append((
-            "blocks",
-            lambda key: catalog.commit(
+
+        def _commit_blocks(key: str) -> dict:
+            blocks = build_blocks(
+                spark,
+                _postings_r(),
+                catalog.read(spark, "term_stats"),
+                catalog.read(spark, "context_stats"),
+                cfg,
+            )
+            return catalog.commit(
                 blocks, "blocks", key,
                 partition_by=["context", "shard"],
                 sort_within_by=["term_lc", "block_id"],
-            ),
-        ))
-    if cfg.build_term_dict:
-        from hunt_spark.functions.frontcode import build_term_dict
+            )
 
-        tdict = build_term_dict(catalog.read(spark, "term_stats"), cfg.n_shards)
-        phase_b.append((
-            "term_dict",
-            lambda key: catalog.commit(
+        threads.append(
+            _node("blocks", ["postings", "term_stats", "context_stats"],
+                  _commit_blocks)
+        )
+    if cfg.build_term_dict:
+
+        def _commit_term_dict(key: str) -> dict:
+            from hunt_spark.functions.frontcode import build_term_dict
+
+            tdict = build_term_dict(
+                catalog.read(spark, "term_stats"), cfg.n_shards
+            )
+            return catalog.commit(
                 tdict, "term_dict", key,
                 partition_by=["context", "shard"],
                 sort_within_by=["first_term"],
-            ),
-        ))
-    if phase_b:
-        _concurrent(phase_b)
+            )
+
+        threads.append(_node("term_dict", ["term_stats"], _commit_term_dict))
+
+    warm_t.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    warm_t.join(timeout=60)
+    if errs:
+        raise errs[0]
     return entries
