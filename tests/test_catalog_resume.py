@@ -171,3 +171,32 @@ def test_postings_partitions_balanced_under_hot_terms(spark, tmp_path_factory):
     rows = [p["rows"] for p in entry["lineage"] if p["rows"] > 0]
     assert len(rows) >= 4
     assert max(rows) <= 4 * (sum(rows) / len(rows)), rows
+
+
+def test_failed_stage_poisons_dependents(spark, docs, tmp_path_factory):
+    """A stage failure must propagate out of build() and leave NO
+    dependent commits behind it — the dependency-scheduled graph sets a
+    failed stage's done-event so dependents wake, but they must see the
+    error and refuse to commit (a term_stats commit over a missing
+    postings snapshot would strand the catalog unresumable)."""
+    root = str(tmp_path_factory.mktemp("poison"))
+    eng = HuntEngine(spark, root, BuildConfig(n_shards=4, salt_buckets=2))
+    with pytest.raises(Exception):
+        # the column resolves at plan time but every task fails at run
+        # time, so the postings stage dies mid-write
+        eng.build(
+            docs,
+            {"text": F.raise_error(F.lit("boom")).cast("string")},
+            build_id="poison",
+        )
+    cat = IndexCatalog(root)
+    committed = {e["table"] for e in cat.snapshots()}
+    # postings never committed, so nothing downstream of it may have
+    for t in ("postings", "term_stats", "term_totals", "context_stats",
+              "blocks", "term_dict"):
+        assert t not in committed, committed
+    # the independent JVM-only head stages may or may not have landed
+    # (they race the failure); a rerun under the same build id must
+    # complete cleanly either way
+    entries = eng.build(docs, {"text": F.col("text")}, build_id="poison")
+    assert "postings" in entries and "blocks" in entries
