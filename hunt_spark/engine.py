@@ -1157,11 +1157,12 @@ class HuntEngine:
             sort_within_by=["context", "term_lc"],
         )
         if self.cfg.build_blocks:
+            # same fold-in as build_index: the stats inputs are in-job
+            # aggregations over the compacted postings (identical
+            # expressions to the commits above), not re-scans of the
+            # just-committed stats tables
             blocks = build_blocks(
-                self.spark, p2,
-                self.catalog.read(self.spark, "term_stats"),
-                self.catalog.read(self.spark, "context_stats"),
-                self.cfg,
+                self.spark, p2, term_stats(p2), context_stats(p2), self.cfg,
             )
             self.catalog.commit(
                 blocks, "blocks", "compact/blocks",

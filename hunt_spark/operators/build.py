@@ -1109,23 +1109,25 @@ def build_index(
     if cfg.build_blocks:
 
         def _commit_blocks(key: str) -> dict:
-            blocks = build_blocks(
-                spark,
-                _postings_r(),
-                catalog.read(spark, "term_stats"),
-                catalog.read(spark, "context_stats"),
-                cfg,
-            )
+            # stats are computed IN-JOB from the committed postings
+            # rather than awaited as committed stages: the two commit
+            # boundaries (write + manifest + re-scan, each a core-count-
+            # invariant constant) sat on the build's critical path
+            # (postings -> term_stats -> blocks) and cost the 4N leg of
+            # the scaling ladder relatively more than the N leg. The
+            # aggregations themselves are cheap, fully parallel, and
+            # identical expressions to the committed stages (term_stats/
+            # context_stats run concurrently for the query path); the
+            # blocks artifact is byte-identical either way.
+            p = _postings_r()
+            blocks = build_blocks(spark, p, term_stats(p), context_stats(p), cfg)
             return catalog.commit(
                 blocks, "blocks", key,
                 partition_by=["context", "shard"],
                 sort_within_by=["term_lc", "block_id"],
             )
 
-        threads.append(
-            _node("blocks", ["postings", "term_stats", "context_stats"],
-                  _commit_blocks)
-        )
+        threads.append(_node("blocks", ["postings"], _commit_blocks))
     if cfg.build_term_dict:
 
         def _commit_term_dict(key: str) -> dict:

@@ -417,7 +417,9 @@ def main() -> None:
              "clean": p["clean"],
              "eff_vs_hw": p["eff_vs_hw"], "eff_vs_bw": p["eff_vs_bw"],
              "build_sec_n": p["N"]["build_sec"],
-             "build_sec_4n": p["4N"]["build_sec"]}
+             "build_sec_4n": p["4N"]["build_sec"],
+             "stage_sec_n": p["N"].get("stage_sec"),
+             "stage_sec_4n": p["4N"].get("stage_sec")}
             for p in pairs
         ],
         "min_bw_gate": args.min_bw or None,
