@@ -676,7 +676,14 @@ def build_blocks(
             F.col("dl").cast("int").alias("dl"),
         )
         .repartition(n_pack_parts, "context", "shard", pack_bucket)
-        .sortWithinPartitions("context", "term_lc", "block_id", "doc_id")
+        # `variant` is a deterministic tiebreak: a doc holding both
+        # "Brain" and "brain" yields two rows with identical
+        # (context, term_lc, block_id, doc_id) — without it the
+        # variants/tfs/dls array order inside a block is run-dependent
+        # and the artifact is not byte-stable across rebuilds.
+        .sortWithinPartitions(
+            "context", "term_lc", "block_id", "doc_id", "variant"
+        )
     )
 
     def pack_arrow(batches):
