@@ -243,6 +243,29 @@ def main() -> None:
                          "rewrite BASELINE.md (for exploratory ladders)")
     args = ap.parse_args()
 
+    # Single-ladder lock: two concurrent ladders void each other — the
+    # controls of one run DURING the probes/legs of the other (observed:
+    # an interleaved probe read alu 6.215, and runs 18-19 went 0/3 clean
+    # partly from a forgotten background ladder). Stale locks (dead pid)
+    # are reclaimed.
+    lock_path = os.path.join(tempfile.gettempdir(), "hunt_scaling_ladder.lock")
+    try:
+        with open(lock_path) as lf:
+            other = int(lf.read().strip() or "0")
+        if other and os.path.exists(f"/proc/{other}"):
+            sys.exit(
+                f"another ladder (pid {other}) is running — two concurrent "
+                f"ladders contaminate each other's probe windows; wait for "
+                f"it or kill it, then remove {lock_path}"
+            )
+    except FileNotFoundError:
+        pass
+    with open(lock_path, "w") as lf:
+        lf.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(lambda: os.path.exists(lock_path) and os.remove(lock_path))
+
     def corpus_rows(path: str) -> int:
         import pyarrow.dataset as ds
 
