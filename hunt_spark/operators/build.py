@@ -37,6 +37,7 @@ Stages (each committed as a catalog snapshot; resumable):
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -915,6 +916,7 @@ def build_index(
     """
     cfg = cfg or BuildConfig()
     entries: dict[str, dict] = {}
+    build_t0 = time.time()
 
     def stage(name: str, fn) -> dict:
         key = f"{build_id}/{name}"
@@ -923,7 +925,13 @@ def build_index(
             if done is not None:
                 entries[name] = done
                 return done
+        t_start = time.time()
         e = fn(key)
+        # span offsets relative to build start — the scaling ladder's
+        # critical-path audit needs WHERE a stage sat, not just how
+        # long it ran (gaps between spans = core-invariant driver time)
+        e["t0_s"] = round(t_start - build_t0, 2)
+        e["t1_s"] = round(time.time() - build_t0, 2)
         entries[name] = e
         return e
 

@@ -442,7 +442,12 @@ def main() -> None:
              "build_sec_n": p["N"]["build_sec"],
              "build_sec_4n": p["4N"]["build_sec"],
              "stage_sec_n": p["N"].get("stage_sec"),
-             "stage_sec_4n": p["4N"].get("stage_sec")}
+             "stage_sec_4n": p["4N"].get("stage_sec"),
+             # [t0, t1] offsets from build start — where a stage SAT,
+             # not just how long it ran; gaps and late starts expose the
+             # core-invariant driver/commit time the ratio pays for
+             "stage_span_n": p["N"].get("stage_span"),
+             "stage_span_4n": p["4N"].get("stage_span")}
             for p in pairs
         ],
         "min_bw_gate": args.min_bw or None,

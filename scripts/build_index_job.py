@@ -111,6 +111,11 @@ def main() -> None:
         build_s = time.time() - t0
 
         stage_sec = {k: round(v["wall_ms"] / 1000, 2) for k, v in entries.items()}
+        stage_span = {
+            k: [v["t0_s"], v["t1_s"]]
+            for k, v in entries.items()
+            if "t0_s" in v
+        }
         core_s = build_s - stage_sec.get("blocks", 0.0)
         out.update({
             "build_sec": round(build_s, 3),
@@ -120,6 +125,7 @@ def main() -> None:
             "core_build_sec": round(core_s, 3),
             "core_docs_per_sec": round(n_docs / core_s, 1),
             "stage_sec": stage_sec,
+            "stage_span": stage_span,
         })
 
     if args.queries:
