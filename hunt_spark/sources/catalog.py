@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+from concurrent.futures import ThreadPoolExecutor
 import time
 import uuid
 
@@ -126,20 +127,37 @@ class IndexCatalog:
     @staticmethod
     def _partition_lineage(path: str) -> list[dict]:
         """Per-partition (rows, bytes, files) from parquet footers — the
-        posting-count/byte-size metrics ledger the north rule requires."""
-        out: dict[str, dict] = {}
+        posting-count/byte-size metrics ledger the north rule requires.
+
+        Footers are read on a thread pool: this runs on the driver right
+        after every stage write, while every executor slot sits idle —
+        a core-count-invariant constant that the N→4N efficiency ratio
+        pays for at 4x weight on the 4N leg. The postings table alone is
+        n_contexts x n_shards dirs x salted writer files (hundreds of
+        footers); footer reads are tiny I/O-bound stats, so threads
+        (GIL released inside pyarrow/os) parallelize them cleanly.
+        """
+        todo: list[tuple[str, str]] = []  # (partition, file path)
         for dirpath, _dirs, files in os.walk(path):
             part = os.path.relpath(dirpath, path)
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(fp).metadata
+            todo.extend(
+                (part, os.path.join(dirpath, fn))
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+
+        def stat(item: tuple[str, str]) -> tuple[str, int, int]:
+            part, fp = item
+            return part, pq.ParquetFile(fp).metadata.num_rows, os.path.getsize(fp)
+
+        out: dict[str, dict] = {}
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(todo)))) as ex:
+            for part, rows, nbytes in ex.map(stat, todo):
                 rec = out.setdefault(
                     part, {"partition": part, "rows": 0, "bytes": 0, "files": 0}
                 )
-                rec["rows"] += md.num_rows
-                rec["bytes"] += os.path.getsize(fp)
+                rec["rows"] += rows
+                rec["bytes"] += nbytes
                 rec["files"] += 1
         return sorted(out.values(), key=lambda r: r["partition"])
 

@@ -200,3 +200,33 @@ def test_failed_stage_poisons_dependents(spark, docs, tmp_path_factory):
     # complete cleanly either way
     entries = eng.build(docs, {"text": F.col("text")}, build_id="poison")
     assert "postings" in entries and "blocks" in entries
+
+
+def test_partition_lineage_threaded_matches_tree(tmp_path):
+    """_partition_lineage fans footer reads over a thread pool (it runs
+    on the driver after every commit while all executor slots idle — a
+    core-invariant constant on the scaling ladder); the aggregate must
+    be identical to a serial walk of the same tree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "snap"
+    expect_rows = 0
+    for part in ("context=a/shard=0", "context=a/shard=1", "context=b/shard=0"):
+        d = root / part
+        d.mkdir(parents=True)
+        for i in range(3):
+            n = 10 + i
+            pq.write_table(pa.table({"x": list(range(n))}), str(d / f"f{i}.parquet"))
+            expect_rows += n
+    (root / "_SUCCESS").touch()  # non-parquet files are ignored
+
+    lin = IndexCatalog._partition_lineage(str(root))
+    assert [r["partition"] for r in lin] == [
+        "context=a/shard=0", "context=a/shard=1", "context=b/shard=0"
+    ]  # sorted, deterministic under the pool
+    assert sum(r["rows"] for r in lin) == expect_rows
+    assert all(r["files"] == 3 for r in lin)
+    assert all(r["bytes"] > 0 for r in lin)
+    # empty snapshot dir: no footers, no crash
+    assert IndexCatalog._partition_lineage(str(tmp_path / "empty")) == []
