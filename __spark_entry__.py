@@ -23,6 +23,7 @@ from hunt_spark.operators import textops
 from hunt_spark.operators.build import BuildConfig
 from hunt_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup_pairs,
     ivf_ann_topk,
     lsh_ann_topk,
 )
@@ -487,6 +488,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir),
             textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8),
         ),
+        # embedding-cosine near-dup: banded SRP-LSH candidates + exact
+        # cosine — the vector-space member of the dedup family (the
+        # synthetic embeddings' most-similar pairs sit near cosine 0.5,
+        # hence the low gate threshold)
+        "dedup_embedding": lambda spark, sf_dir: embedding_near_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.45, n_planes=16, n_bands=8,
+            dim=64,
+        ),
         # --- embedding similarity search ---
         "emb_cosine_topk": lambda spark, sf_dir: cosine_topk(
             _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], k=5
@@ -774,6 +783,61 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, cosine_x1e4, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+"""
+
+
+def _embedding_near_dup_oracle(
+    threshold: float = 0.45, n_planes: int = 16, n_bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.embedding_near_dup_pairs: the same Philox
+    seed-42 hyperplanes, the same per-band bit packing (bit i = plane i
+    WITHIN the band, >= 0 convention), candidates = pairs agreeing on
+    ANY band, exact float64 cosine on candidates, and the same
+    integer-rounded threshold compare — so the gate checks the banded
+    LSH dedup path end to end, not just the cosine arithmetic."""
+    from hunt_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    per = n_planes // n_bands
+    band_cols = []
+    for j in range(n_bands):
+        bits = []
+        for i in range(per):
+            arr = "[" + ", ".join(
+                repr(float(v)) for v in planes[j * per + i]
+            ) + "]"
+            proj = (
+                f"list_sum(list_transform(list_zip(embedding, {arr}), "
+                "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+            )
+            bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+        band_cols.append("(" + " + ".join(bits) + f") AS s{j}")
+    sig_select = ",\n         ".join(band_cols)
+    band_match = " OR ".join(f"a.s{j} = b.s{j}" for j in range(n_bands))
+    thr = int(round(threshold * 10000))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {sig_select}
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_match})
+),
+scored AS (
+  SELECT vec_id_a, vec_id_b,
+         CAST(round(
+           list_sum(list_transform(list_zip(ea, eb),
+                                   x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE))))
+           * 10000) AS BIGINT) AS cosine_x1e4
+  FROM cand
+)
+SELECT vec_id_a, vec_id_b, cosine_x1e4 FROM scored WHERE cosine_x1e4 >= {thr}
 """
 
 
@@ -1122,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.doc_id = a.cluster_id AS INT) AS keep
             FROM alld a JOIN sz USING (cluster_id)
         """,
+        "dedup_embedding": _embedding_near_dup_oracle(),
         "emb_cosine_topk": _COSINE_TOPK,
         # "approximate" w.r.t. exact kNN, but fully deterministic given
         # the fixed hyperplanes — the oracle replays the same plan

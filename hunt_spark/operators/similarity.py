@@ -337,3 +337,100 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_x1e4", "rank")
     )
+
+
+def banded_signature_exprs(vec, planes: np.ndarray, n_bands: int) -> list:
+    """Split ``planes`` into ``n_bands`` contiguous slices and pack each
+    slice's sign bits into its own long (bit i = plane i WITHIN the
+    band, the lsh_signature_col convention)."""
+    per = planes.shape[0] // n_bands
+    return [
+        lsh_signature_col(vec, planes[j * per:(j + 1) * per])
+        for j in range(n_bands)
+    ]
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a corpus embedding
+    table — the vector-space member of the dedup family (exact hash /
+    n-gram Jaccard / MinHash / SimHash in textops, decoded-feature
+    near-dup in multimodal).
+
+    Banded sign-random-projection LSH: ``n_planes`` sign bits split
+    into ``n_bands`` bands; two vectors are candidates iff ANY band's
+    packed bits agree (the MinHash band trick transplanted to SRP, so
+    recall at a given cosine is 1-(1-p^r)^b with p = 1-acos(c)/pi).
+    Exact cosine (float64, fixed fold order — with_cosine) runs on
+    candidates only, and a pair qualifies when round(cosine*1e4) >=
+    round(threshold*1e4): the integer comparison keeps the threshold
+    boundary engine-stable for the DuckDB oracle.
+
+    Scale shape: candidate generation is ONE equality-keyed self-join
+    on the exploded (band_idx, band_sig) key — never an all-pairs
+    cross join. Band width (n_planes/n_bands) is the knob that trades
+    candidate rate for recall as the corpus grows: at 10^9 vectors and
+    near-dup thresholds (>= 0.9) you widen bands to 16-32 bits so a
+    bucket holds only true near-neighbors; the defaults here are sized
+    for the synthetic gate corpus, whose most-similar pairs sit near
+    cosine 0.5. Signatures come from column expressions below
+    EXPR_LITERAL_LIMIT literals, else from the Arrow-batched matmul UDF
+    (both use the >= 0 sign convention, so the plans are equivalent).
+
+    Returns (vec_id_a, vec_id_b, cosine_x1e4) with vec_id_a < vec_id_b.
+    """
+    if n_planes % n_bands:
+        raise ValueError("n_bands must divide n_planes")
+    if dim is None:
+        row = embeddings.select(vec_col).first()
+        if row is None or row[0] is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id_a long, vec_id_b long, cosine_x1e4 long"
+            )
+        dim = len(row[0])
+    planes = _hyperplanes(dim, n_planes)
+    if strategy == "auto":
+        strategy = "expr" if planes.size <= EXPR_LITERAL_LIMIT else "udf"
+    per = n_planes // n_bands
+    if strategy == "udf":
+        band_sigs = [
+            lsh_signature_udf(embeddings, vec_col, planes[j * per:(j + 1) * per])
+            for j in range(n_bands)
+        ]
+    else:
+        band_sigs = banded_signature_exprs(F.col(vec_col), planes, n_bands)
+    tagged = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(F.array(*band_sigs)).alias("band_idx", "band_sig"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_id_a"),
+            F.col("b.vid").alias("vec_id_b"),
+            F.col("a.vec").alias("emb_a"),
+            F.col("b.vec").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    scored = with_cosine(cand).withColumn(
+        "cosine_x1e4", F.round(F.col("cosine") * 10000).cast("long")
+    )
+    return scored.filter(
+        F.col("cosine_x1e4") >= int(round(threshold * 10000))
+    ).select("vec_id_a", "vec_id_b", "cosine_x1e4")

@@ -122,3 +122,68 @@ def test_ivf_deterministic_across_partitioning(spark, emb, exact):
         )
     )
     assert a == b
+
+
+# --- embedding-cosine near-dup (banded SRP-LSH + exact cosine) ---
+
+def _brute_pairs(emb, thr_x1e4):
+    from hunt_spark.operators.similarity import with_cosine
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = with_cosine(
+        a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    ).withColumn("cosine_x1e4", F.round(F.col("cosine") * 10000).cast("long"))
+    return {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine_x1e4"]
+        for r in pairs.filter(F.col("cosine_x1e4") >= thr_x1e4).collect()
+    }
+
+
+def test_near_dup_pairs_true_cosines_ordered_and_high_recall(emb):
+    from hunt_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = embedding_near_dup_pairs(
+        emb, threshold=0.45, n_planes=16, n_bands=8, dim=64
+    ).collect()
+    assert rows, "gate corpus must yield near-dup pairs at 0.45"
+    truth = _brute_pairs(emb, 4500)
+    for r in rows:
+        key = (r["vec_id_a"], r["vec_id_b"])
+        assert r["vec_id_a"] < r["vec_id_b"]
+        # every emitted pair is a TRUE pair with its exact cosine:
+        # LSH may lose recall, never precision
+        assert truth[key] == r["cosine_x1e4"]
+    # 2-bit bands at cosine>=0.45: per-band collision ~0.42, any-of-8
+    # ~0.99 — demand most of the truth set, not a lucky subset
+    assert len(rows) >= 0.8 * len(truth)
+
+
+def test_near_dup_udf_strategy_matches_expr(emb):
+    from hunt_spark.operators.similarity import embedding_near_dup_pairs
+
+    def key(rows):
+        return sorted(
+            (r["vec_id_a"], r["vec_id_b"], r["cosine_x1e4"]) for r in rows
+        )
+
+    ex = embedding_near_dup_pairs(
+        emb, threshold=0.45, dim=64, strategy="expr"
+    ).collect()
+    ud = embedding_near_dup_pairs(
+        emb, threshold=0.45, dim=64, strategy="udf"
+    ).collect()
+    assert key(ex) == key(ud)
+
+
+def test_near_dup_empty_and_bad_bands(spark, emb):
+    from hunt_spark.operators.similarity import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(empty).count() == 0
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(emb, n_planes=10, n_bands=4)
