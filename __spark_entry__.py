@@ -465,6 +465,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii": lambda spark, sf_dir: textops.pii_scan(
             _pii_planted(_docs(spark, sf_dir))
         ),
+        # Gopher-style intra-doc repetition fractions (dup / top 2-gram)
+        "txt_repetition": lambda spark, sf_dir: textops.repetition_stats(
+            _docs(spark, sf_dir), n=2
+        ),
+        # benchmark-contamination scan: distinct 3-gram overlap vs the
+        # pseudo eval set doc_id % 97 == 0, broadcast gram dictionary
+        "txt_contamination": lambda spark, sf_dir: textops.contamination(
+            _docs(spark, sf_dir),
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0),
+            n=3,
+        ),
+        # deterministic hash-based stratified sampling: per-lang rates,
+        # membership a pure function of doc_id (reproducible, engine-
+        # recomputable; thresholds fixed as integer literals)
+        "op_sample_stratified": lambda spark, sf_dir: textops.sample_stratified(
+            _docs(spark, sf_dir).select("doc_id", "lang"),
+            rates={"en": 0.5, "zh": 0.1},
+            default_rate=0.25,
+        ),
         # --- deduplication ---
         "dedup_exact": lambda spark, sf_dir: textops.dedup_exact(
             _docs(spark, sf_dir)
@@ -1152,6 +1171,48 @@ def oracle_sql() -> dict[str, str]:
                + len(regexp_extract_all(text,
                 '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii
             FROM p
+        """,
+        "txt_repetition": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(tk) - 1),
+                                i -> tk[i] || ' ' || tk[i + 1])) AS gram
+                  FROM t WHERE len(tk) >= 2),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(round(max(cnt) * 10000.0 / sum(cnt)) AS BIGINT)
+                     AS top_gram_frac_x1e4,
+                   CAST(round(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)
+                        * 10000.0 / sum(cnt)) AS BIGINT)
+                     AS dup_gram_frac_x1e4
+            FROM c GROUP BY doc_id
+        """,
+        "txt_contamination": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(tk) - 2),
+                           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])))
+                           AS gram
+                  FROM t WHERE len(tk) >= 3),
+            b AS (SELECT DISTINCT gram AS b_gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(count(b.b_gram) AS BIGINT) AS n_contaminated,
+                   CAST(round(count(b.b_gram) * 10000.0 / count(*)) AS BIGINT)
+                     AS contaminated_frac_x1e4
+            FROM g LEFT JOIN b ON g.gram = b.b_gram
+            GROUP BY g.doc_id
+        """,
+        "op_sample_stratified": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN 2147483648
+                        WHEN 'zh' THEN 429496730
+                        ELSE 1073741824 END
         """,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "

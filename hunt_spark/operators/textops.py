@@ -686,3 +686,151 @@ def near_dup_clusters(
             (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-doc repetition / contamination / sampling
+# ---------------------------------------------------------------------------
+
+
+def _token_ngrams(tokens: Column, n: int) -> Column:
+    """array<string> tokens -> array<string> of space-joined token
+    n-grams, pure Catalyst (sequence + transform, 0-based indexing)."""
+    parts = [f"t[i - 1 + {j}]" for j in range(n)]
+    joined = ", ' ', ".join(parts)
+    return F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), i -> concat({joined}))"
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Intra-document repetition features in the Gopher style (Rae et
+    al. 2021, "Scaling Language Models", table A1: duplicate/top n-gram
+    fractions): per doc, the fraction of token n-grams that are
+    duplicates (all occurrences of any gram seen more than once) and
+    the fraction covered by the single most frequent n-gram. Filter
+    pipelines drop docs above a threshold (boilerplate, SEO spam,
+    degenerate generations).
+
+    Docs with fewer than n tokens emit NO row (no grams to measure);
+    like quality_stats, treat missing as reject.
+
+    Scale: explode on (doc_id, gram) -> two hash aggregations. The
+    shuffle key is (doc_id, gram) — cardinality ~= corpus token count,
+    no hot key possible (doc_id spreads it), map-side partial agg
+    applies. Fractions are multiply-before-divide doubles rounded to
+    x1e4 ints for stable cross-engine hashing."""
+    t = tokenize_col(text_col)
+    grams = (
+        _spread(docs)
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", F.explode(_token_ngrams(F.col("t"), n)).alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    tot = F.sum("cnt").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.round(F.max("cnt").cast("double") * 10000 / tot)
+        .cast("long")
+        .alias("top_gram_frac_x1e4"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).cast("double")
+            * 10000
+            / tot
+        )
+        .cast("long")
+        .alias("dup_gram_frac_x1e4"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: per training doc, how many of its
+    DISTINCT token n-grams appear anywhere in the benchmark (eval-set)
+    documents. Training pipelines run exactly this before a data
+    release so eval questions aren't memorized verbatim; n=8..13 word
+    grams in practice, n=3 by default here because the synthetic corpus
+    has a tiny vocabulary.
+
+    Docs with fewer than n tokens emit NO row.
+
+    Scale: the benchmark gram dictionary is distinct-ed (eval sets are
+    tiny next to the corpus) and BROADCAST to the exploded doc-gram
+    stream — no shuffle of the corpus side on gram; the only corpus
+    shuffle is the final per-doc count."""
+    t = tokenize_col(text_col)
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", t.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(_token_ngrams(F.col("t"), n))
+                ).alias("gram"),
+            )
+        )
+
+    bench = grams_of(benchmark).select("gram").distinct()
+    hit = F.count(F.col("b_gram"))
+    return (
+        grams_of(_spread(docs))
+        .join(
+            F.broadcast(bench.withColumnRenamed("gram", "b_gram")),
+            F.col("gram") == F.col("b_gram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            hit.alias("n_contaminated"),
+            F.round(hit.cast("double") * 10000 / F.count("*").cast("double"))
+            .cast("long")
+            .alias("contaminated_frac_x1e4"),
+        )
+    )
+
+
+# Knuth's multiplicative constant: floor(2^32 / phi). The hash must be
+# identically computable in ANSI SQL (the oracle) and Catalyst, so no
+# xxh64 here — a fixed-point multiplicative hash over the key is enough
+# for rate fidelity and is reproducible everywhere.
+_SAMPLE_HASH_MULT = 2654435761
+_SAMPLE_HASH_MOD = 1 << 32
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``(key * 2654435761) mod 2^32 < round(rate[stratum] * 2^32)``.
+
+    This is how a training-data mixture is drawn at 100 TB: per-language
+    / per-source rates, decided by a pure function of the row key so the
+    sample is (a) reproducible run-to-run with no RNG state, (b) stable
+    under re-partitioning and resume (unlike df.sample, whose output
+    depends on partition layout), and (c) auditable — any engine can
+    recompute membership. Map-side filter only: no shuffle, no driver
+    state; thresholds are integer literals fixed at plan time."""
+    thresholds = {
+        s: int(round(r * _SAMPLE_HASH_MOD)) for s, r in rates.items()
+    }
+    thr: Column = F.lit(int(round(default_rate * _SAMPLE_HASH_MOD)))
+    for s, v in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(thr)
+    h = (F.col(key_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)) % F.lit(
+        _SAMPLE_HASH_MOD
+    )
+    return docs.filter(h < thr)

@@ -1,0 +1,152 @@
+"""Pins for the r5 training-pipeline additions: Gopher-style
+repetition fractions, benchmark-contamination overlap, deterministic
+stratified sampling. Gate parity vs DuckDB is covered by
+__spark_entry__ (txt_repetition / txt_contamination /
+op_sample_stratified); these tests pin the semantics on crafted docs
+and the properties (determinism, layout-independence, rate fidelity)
+the gates can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hunt_spark.operators import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_fractions_pinned(spark):
+    docs = _docs(
+        spark,
+        [
+            # grams: ab ba ab ba ab -> top "a b"=3/5, dup=(3+2)/5
+            (1, "a b a b a b", "en"),
+            # grams: ab bc -> no dup, top 1/2
+            (2, "a b c", "en"),
+            # single token: no grams, NO row
+            (3, "solo", "en"),
+            (4, "", "en"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.repetition_stats(docs, n=2).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 5
+    assert out[1]["top_gram_frac_x1e4"] == 6000
+    assert out[1]["dup_gram_frac_x1e4"] == 10000
+    assert out[2]["n_grams"] == 2
+    assert out[2]["top_gram_frac_x1e4"] == 5000
+    assert out[2]["dup_gram_frac_x1e4"] == 0
+
+
+def test_repetition_trigram_window(spark):
+    # n=3 over 4 tokens -> grams "x y x", "y x y": all distinct
+    docs = _docs(spark, [(1, "x y x y", "en")])
+    row = textops.repetition_stats(docs, n=3).collect()[0]
+    assert row["n_grams"] == 2
+    assert row["dup_gram_frac_x1e4"] == 0
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_counts_distinct_gram_hits(spark):
+    bench = _docs(spark, [(100, "q w e r", "en")])  # grams: qwe, wer
+    docs = _docs(
+        spark,
+        [
+            # distinct grams: "q w e" (planted twice, counted once), "w e q", "e q w"
+            (1, "q w e q w e", "en"),
+            (2, "z z z z", "en"),  # zzz x2 -> 1 distinct, clean
+            (3, "a b", "en"),  # <3 tokens -> NO row
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.contamination(docs, bench, n=3).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_distinct_grams"] == 3
+    assert out[1]["n_contaminated"] == 1  # only "q w e" is in bench
+    assert out[1]["contaminated_frac_x1e4"] == 3333
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["contaminated_frac_x1e4"] == 0
+
+
+def test_contamination_full_overlap(spark):
+    bench = _docs(spark, [(100, "a b c d", "en")])
+    docs = _docs(spark, [(1, "a b c", "en")])
+    row = textops.contamination(docs, bench, n=3).collect()[0]
+    assert row["n_contaminated"] == 1
+    assert row["contaminated_frac_x1e4"] == 10000
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified
+# ---------------------------------------------------------------------------
+
+
+def _sample_keys(spark, rates, default, n=4000, parts=4):
+    docs = (
+        spark.range(n)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn(
+            "lang",
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "zh")
+            .otherwise("de"),
+        )
+        .repartition(parts)
+    )
+    return sorted(
+        r["doc_id"]
+        for r in textops.sample_stratified(docs, rates, default).collect()
+    )
+
+
+def test_sample_matches_pure_python_hash(spark):
+    kept = _sample_keys(spark, {"en": 0.5, "zh": 0.1}, 0.25, n=1000)
+    thr = {"en": 1 << 31, "zh": round(0.1 * (1 << 32)), "de": 1 << 30}
+    langs = {0: "en", 1: "zh", 2: "de"}
+    expected = sorted(
+        i
+        for i in range(1000)
+        if (i * 2654435761) % (1 << 32) < thr[langs[i % 3]]
+    )
+    assert kept == expected
+
+
+def test_sample_deterministic_and_layout_independent(spark):
+    a = _sample_keys(spark, {"en": 0.5}, 0.25, parts=2)
+    b = _sample_keys(spark, {"en": 0.5}, 0.25, parts=16)
+    assert a == b  # unlike df.sample, layout cannot change membership
+
+
+def test_sample_rate_fidelity_per_stratum(spark):
+    kept = _sample_keys(spark, {"en": 0.5, "zh": 0.1}, 0.25, n=9000)
+    by_lang = {"en": 0, "zh": 0, "de": 0}
+    langs = {0: "en", 1: "zh", 2: "de"}
+    for k in kept:
+        by_lang[langs[k % 3]] += 1
+    # 3000 keys per stratum; multiplicative hash is uniform enough
+    # for +-15% relative at this n
+    assert by_lang["en"] == pytest.approx(1500, rel=0.15)
+    assert by_lang["zh"] == pytest.approx(300, rel=0.15)
+    assert by_lang["de"] == pytest.approx(750, rel=0.15)
+
+
+def test_sample_rate_bounds(spark):
+    assert _sample_keys(spark, {}, 0.0, n=500) == []
+    assert len(_sample_keys(spark, {}, 1.0, n=500)) == 500
