@@ -178,6 +178,34 @@ def _selector_engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     return eng
 
 
+def _pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline over the documents table: keep a
+    doc iff it clears the quality floor (>= 30 tokens), the repetition
+    ceiling (duplicate-2-gram fraction <= 15%), is not detected German,
+    is its exact-dup group's canonical doc, and survives the per-lang
+    stratified sample. Output = (doc_id, lang, n_tokens) of the kept
+    corpus — what a data release actually ships."""
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_stats(docs).filter(F.col("n_tokens") >= 30)
+    r = textops.repetition_stats(docs, n=2).filter(
+        F.col("dup_gram_frac_x1e4") <= 1500
+    )
+    l_ok = textops.langid(docs).filter(F.col("pred_lang") != "de")
+    keep = textops.dedup_exact(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(q.select("doc_id", "n_tokens"), "doc_id")
+        .join(r.select("doc_id"), "doc_id", "left_semi")
+        .join(l_ok.select("doc_id"), "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+    )
+    return textops.sample_stratified(
+        kept, rates={"en": 0.5, "zh": 0.1}, default_rate=0.25
+    )
+
+
 def _pii_planted(docs: DataFrame) -> DataFrame:
     """Deterministically append PII-shaped footers (email+IP+SSN on
     doc_id%7==0, phone+card on doc_id%11==0) — the oracle twin builds
@@ -484,6 +512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rates={"en": 0.5, "zh": 0.1},
             default_rate=0.25,
         ),
+        # the whole training-data curation chain as ONE composed plan:
+        # quality floor -> repetition ceiling -> langid drop -> exact-
+        # dedup canonical keep -> stratified sample. Each stage is the
+        # operator the standalone gate checks; this gate checks they
+        # compose (Catalyst fuses the per-doc stages; every join is on
+        # doc_id, the dedup side is min-per-hash-group)
+        "pipeline_kept": lambda spark, sf_dir: _pipeline_kept(spark, sf_dir),
         # --- deduplication ---
         "dedup_exact": lambda spark, sf_dir: textops.dedup_exact(
             _docs(spark, sf_dir)
@@ -1213,6 +1248,43 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 2147483648
                         WHEN 'zh' THEN 429496730
                         ELSE 1073741824 END
+        """,
+        "pipeline_kept": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk
+                       FROM documents),
+            q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+                  FROM t WHERE len(tk) >= 30),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(tk) - 1),
+                                i -> tk[i] || ' ' || tk[i + 1])) AS gram
+                  FROM t WHERE len(tk) >= 2),
+            c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            r AS (SELECT doc_id FROM c GROUP BY doc_id
+                  HAVING round(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0)
+                         * 10000.0 / sum(cnt)) <= 1500),
+            lw AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '\w+') AS tk
+                   FROM documents),
+            l AS (SELECT doc_id FROM lw
+                  WHERE NOT (
+                    len(list_filter(tk, x -> x IN
+                      ('der','die','das','und','ist','nicht','ein','zu'))) >
+                    len(list_filter(tk, x -> x IN
+                      ('the','a','of','to','and','in','is','it')))
+                    AND len(list_filter(tk, x -> x IN
+                      ('der','die','das','und','ist','nicht','ein','zu'))) > 0)),
+            k AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text))
+            SELECT d.doc_id, d.lang, q.n_tokens
+            FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            JOIN r ON d.doc_id = r.doc_id
+            JOIN l ON d.doc_id = l.doc_id
+            JOIN k ON d.doc_id = k.doc_id
+            WHERE (d.doc_id * 2654435761) % 4294967296 <
+              CASE d.lang WHEN 'en' THEN 2147483648
+                          WHEN 'zh' THEN 429496730
+                          ELSE 1073741824 END
         """,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "

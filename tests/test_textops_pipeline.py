@@ -150,3 +150,44 @@ def test_sample_rate_fidelity_per_stratum(spark):
 def test_sample_rate_bounds(spark):
     assert _sample_keys(spark, {}, 0.0, n=500) == []
     assert len(_sample_keys(spark, {}, 1.0, n=500)) == 500
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline (pipeline_kept gate's Spark side)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_kept_invariants(spark):
+    """The composed curation chain only ever narrows, and every kept
+    doc individually satisfies every stage's predicate (oracle parity
+    is the pipeline_kept gate / test_entry_contract)."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = entrymod._pipeline_kept(spark, sf_dir).collect()
+    assert 0 < len(kept) < docs.count()
+    ids = [r["doc_id"] for r in kept]
+    assert len(ids) == len(set(ids))
+
+    q = {
+        r["doc_id"]: r
+        for r in textops.quality_stats(docs).collect()
+    }
+    rep = {
+        r["doc_id"]: r
+        for r in textops.repetition_stats(docs, n=2).collect()
+    }
+    lid = {r["doc_id"]: r["pred_lang"] for r in textops.langid(docs).collect()}
+    canon = {
+        r["keep_doc_id"] for r in textops.dedup_exact(docs).collect()
+    }
+    for r in kept:
+        d = r["doc_id"]
+        assert q[d]["n_tokens"] >= 30 and r["n_tokens"] == q[d]["n_tokens"]
+        assert rep[d]["dup_gram_frac_x1e4"] <= 1500
+        assert lid[d] != "de"
+        assert d in canon
+        assert (d * 2654435761) % (1 << 32) < {
+            "en": 1 << 31, "zh": round(0.1 * (1 << 32))
+        }.get(r["lang"], 1 << 30)
