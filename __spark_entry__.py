@@ -185,24 +185,13 @@ def _pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     is its exact-dup group's canonical doc, and survives the per-lang
     stratified sample. Output = (doc_id, lang, n_tokens) of the kept
     corpus — what a data release actually ships."""
-    docs = _docs(spark, sf_dir)
-    q = textops.quality_stats(docs).filter(F.col("n_tokens") >= 30)
-    r = textops.repetition_stats(docs, n=2).filter(
-        F.col("dup_gram_frac_x1e4") <= 1500
-    )
-    l_ok = textops.langid(docs).filter(F.col("pred_lang") != "de")
-    keep = textops.dedup_exact(docs).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    kept = (
-        docs.select("doc_id", "lang")
-        .join(q.select("doc_id", "n_tokens"), "doc_id")
-        .join(r.select("doc_id"), "doc_id", "left_semi")
-        .join(l_ok.select("doc_id"), "doc_id", "left_semi")
-        .join(keep, "doc_id", "left_semi")
-    )
-    return textops.sample_stratified(
-        kept, rates={"en": 0.5, "zh": 0.1}, default_rate=0.25
+    return textops.curate(
+        _docs(spark, sf_dir),
+        min_tokens=30,
+        max_dup_frac_x1e4=1500,
+        drop_pred_langs=("de",),
+        rates={"en": 0.5, "zh": 0.1},
+        default_rate=0.25,
     )
 
 

@@ -106,6 +106,15 @@ def main() -> None:
         "op_ann_cosine": lambda: cosine_topk(
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), [0, 1, 2, 3, 4], 5
         ).count(),
+        "op_repetition": lambda: textops.repetition_stats(docs).count(),
+        "op_contamination": lambda: textops.contamination(
+            docs, docs.filter(F.col("doc_id") % 97 == 0)
+        ).count(),
+        # the full composed curation chain (quality/repetition/langid/
+        # dedup/sample) — the end-to-end pipeline number
+        "op_curate": lambda: textops.curate(
+            docs, rates={"en": 0.5, "zh": 0.1}, default_rate=0.25
+        ).count(),
     }
     op_times: dict[str, list[float]] = {name: [] for name in ops}
     for _rep in range(N_REPS):

@@ -834,3 +834,45 @@ def sample_stratified(
         _SAMPLE_HASH_MOD
     )
     return docs.filter(h < thr)
+
+
+def curate(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_dup_frac_x1e4: int = 1500,
+    drop_pred_langs: tuple[str, ...] = ("de",),
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    text_col: str = "text",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """The whole curation chain as one composed plan: quality floor ->
+    repetition ceiling -> language drop -> exact-dedup canonical keep
+    -> deterministic stratified sample. Returns (doc_id, strata_col,
+    n_tokens) for the kept corpus — the thing a data release ships.
+
+    Each stage is the standalone operator above; composing them keeps
+    every join on doc_id (the predicate-only sides as left-semi, so
+    nothing doc-sized is carried) and lets Catalyst fuse the per-doc
+    column work. Cross-engine parity of the full chain is pinned by
+    the pipeline_kept driver gate."""
+    q = quality_stats(docs, text_col).filter(F.col("n_tokens") >= min_tokens)
+    r = repetition_stats(docs, text_col, n=2).filter(
+        F.col("dup_gram_frac_x1e4") <= max_dup_frac_x1e4
+    )
+    l_ok = langid(docs, text_col).filter(
+        ~F.col("pred_lang").isin(*drop_pred_langs)
+    )
+    keep = dedup_exact(docs, text_col).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", strata_col)
+        .join(q.select("doc_id", "n_tokens"), "doc_id")
+        .join(r.select("doc_id"), "doc_id", "left_semi")
+        .join(l_ok.select("doc_id"), "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+    )
+    return sample_stratified(
+        kept, rates or {}, default_rate, strata_col=strata_col
+    )
