@@ -501,6 +501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rates={"en": 0.5, "zh": 0.1},
             default_rate=0.25,
         ),
+        # weighted mixture sampling (epoch upsampling): deterministic
+        # per-row copy counts — floor(rate) + one more iff the key hash
+        # clears the fractional threshold
+        "op_sample_weighted": lambda spark, sf_dir: textops.sample_weighted(
+            _docs(spark, sf_dir).select("doc_id", "lang"),
+            rates={"en": 2.5, "zh": 0.5},
+            default_rate=1.25,
+        ),
         # the whole training-data curation chain as ONE composed plan:
         # quality floor -> repetition ceiling -> langid drop -> exact-
         # dedup canonical keep -> stratified sample. Each stage is the
@@ -1237,6 +1245,21 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 2147483648
                         WHEN 'zh' THEN 429496730
                         ELSE 1073741824 END
+        """,
+        "op_sample_weighted": r"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 ELSE 1 END
+                 + CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                     CASE lang WHEN 'en' THEN 2147483648
+                               WHEN 'zh' THEN 2147483648
+                               ELSE 1073741824 END
+                   THEN 1 ELSE 0 END) AS n_copies
+              FROM documents)
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                     AS copy_idx
+            FROM s WHERE n_copies >= 1
         """,
         "pipeline_kept": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk

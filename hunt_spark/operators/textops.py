@@ -876,3 +876,39 @@ def curate(
     return sample_stratified(
         kept, rates or {}, default_rate, strata_col=strata_col
     )
+
+
+def sample_weighted(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted mixture sampling: rate r = expected
+    copies per row. Every row gets floor(r) copies, plus one more iff
+    ``(key * 2654435761) mod 2^32 < round(frac(r) * 2^32)`` — so r=2.5
+    means 2 or 3 copies, r=0.5 means 0 or 1 (the sample_stratified
+    case). Output = input columns + copy_idx (1..n); rows with 0
+    copies vanish.
+
+    This is epoch weighting in a training mixture ("2.3 epochs of
+    Wikipedia, 0.4 of CC"): upsampling decided per-row by the same
+    reproducible key hash as sample_stratified, so reruns, resumes and
+    repartitions emit the identical multiset. explode(sequence) is
+    JVM-side and map-only — no shuffle, no RNG state."""
+    base: Column = F.lit(int(default_rate))
+    frac_thr: Column = F.lit(int(round((default_rate % 1) * _SAMPLE_HASH_MOD)))
+    for s, r in sorted(rates.items()):
+        base = F.when(F.col(strata_col) == s, F.lit(int(r))).otherwise(base)
+        frac_thr = F.when(
+            F.col(strata_col) == s, F.lit(int(round((r % 1) * _SAMPLE_HASH_MOD)))
+        ).otherwise(frac_thr)
+    h = (F.col(key_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)) % F.lit(
+        _SAMPLE_HASH_MOD
+    )
+    n_copies = (base + (h < frac_thr).cast("long")).alias("n_copies")
+    seq = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.withColumn("copy_idx", F.explode(seq))

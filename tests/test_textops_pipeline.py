@@ -191,3 +191,61 @@ def test_pipeline_kept_invariants(spark):
         assert (d * 2654435761) % (1 << 32) < {
             "en": 1 << 31, "zh": round(0.1 * (1 << 32))
         }.get(r["lang"], 1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted (epoch upsampling)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_matches_pure_python(spark):
+    docs = (
+        spark.range(600)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn(
+            "lang",
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "zh")
+            .otherwise("de"),
+        )
+        .repartition(5)
+    )
+    out = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in textops.sample_weighted(
+            docs, {"en": 2.5, "zh": 0.5}, 1.25
+        ).collect()
+    )
+    langs = {0: "en", 1: "zh", 2: "de"}
+    conf = {"en": (2, 1 << 31), "zh": (0, 1 << 31), "de": (1, 1 << 30)}
+    expected = []
+    for i in range(600):
+        base, thr = conf[langs[i % 3]]
+        n = base + (1 if (i * 2654435761) % (1 << 32) < thr else 0)
+        expected += [(i, c) for c in range(1, n + 1)]
+    assert out == sorted(expected)
+
+
+def test_weighted_expected_copies(spark):
+    # rate 2.5 over 3000 keys -> ~7500 rows out
+    docs = spark.range(3000).withColumn("doc_id", F.col("id")).withColumn(
+        "lang", F.lit("en")
+    )
+    n = textops.sample_weighted(docs, {"en": 2.5}, 1.0).count()
+    assert n == pytest.approx(7500, rel=0.05)
+
+
+def test_weighted_integer_rate_is_exact_replication(spark):
+    docs = spark.range(100).withColumn("doc_id", F.col("id")).withColumn(
+        "lang", F.lit("en")
+    )
+    out = textops.sample_weighted(docs, {"en": 3.0}, 1.0).collect()
+    assert len(out) == 300
+    assert {r["copy_idx"] for r in out} == {1, 2, 3}
+
+
+def test_weighted_zero_rate_drops_all(spark):
+    docs = spark.range(50).withColumn("doc_id", F.col("id")).withColumn(
+        "lang", F.lit("en")
+    )
+    assert textops.sample_weighted(docs, {"en": 0.0}, 1.0).count() == 0
