@@ -166,7 +166,14 @@ class HuntClient:
     huntBaseUrl, Client.hs:60-69; default localhost:3000 like the
     reference)."""
 
-    def __init__(self, base_url: str = DEFAULT_URL, timeout: float = 60.0):
+    def __init__(
+        self, base_url: str = DEFAULT_URL, timeout: float | None = None
+    ):
+        # timeout=None (block like the reference client and the pre-
+        # client CLI did) is the right default: /eval batch inserts
+        # against a Spark-backed engine routinely run minutes, and an
+        # aborted wait leaves the server-side mutation running — the
+        # retry then 409s on the duplicate URI
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
 

@@ -62,6 +62,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            # a lying IHDR length passes the truncation check above but
+            # would raise struct.error (NOT ValueError) from unpack,
+            # escaping callers' documented corrupt-payload handling
+            if length != 13:
+                raise ValueError(f"bad PNG IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)

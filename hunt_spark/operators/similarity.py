@@ -206,6 +206,36 @@ def lsh_signature_udf(embeddings: DataFrame, vec_col: str, planes: np.ndarray):
     return sig_of(F.col(vec_col))
 
 
+def banded_signature_udf(
+    embeddings: DataFrame, vec_col: str, planes: np.ndarray, n_bands: int
+):
+    """All band signatures in one Arrow UDF: a single (batch x dim) @
+    (dim x n_planes) matmul, bits reshaped (n, n_bands, per) and packed
+    per band — value-identical to banded_signature_exprs and to calling
+    lsh_signature_udf per band slice, at 1/n_bands the Python-worker
+    cost. Null vectors yield a null signature array (the equality join
+    drops them, matching the expr path's null semantics)."""
+    bc = _bcast_matrix(embeddings, planes)
+    n_planes = planes.shape[0]
+    per = n_planes // n_bands
+    weights = 1 << np.arange(per, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sigs_of(v: pd.Series) -> pd.Series:
+        out = [None] * len(v)
+        vals = v.to_numpy()
+        idx = [i for i, x in enumerate(vals) if x is not None]
+        if idx:
+            m = np.stack([vals[i] for i in idx]).astype(np.float64)
+            bits = (m @ bc.value.T) >= 0
+            sigs = bits.reshape(len(idx), n_bands, per) @ weights
+            for j, i in enumerate(idx):
+                out[i] = sigs[j].tolist()
+        return pd.Series(out)
+
+    return sigs_of(F.col(vec_col))
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -291,7 +321,11 @@ def lsh_ann_topk(
     recall), exact cosine on candidates. Same output schema as
     cosine_topk. ``strategy`` as in ivf_ann_topk."""
     if dim is None:
-        row = embeddings.select(vec_col).first()
+        # sniff from a NON-NULL row: .first() landing on a null vector
+        # must not degenerate the whole table to an empty result
+        row = embeddings.select(vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).first()
         if row is None or row[0] is None:  # empty frame / null probe
             return embeddings.sparkSession.createDataFrame(
                 [],
@@ -390,7 +424,11 @@ def embedding_near_dup_pairs(
     if n_planes % n_bands:
         raise ValueError("n_bands must divide n_planes")
     if dim is None:
-        row = embeddings.select(vec_col).first()
+        # sniff from a NON-NULL row: .first() landing on a null vector
+        # must not degenerate the whole table to an empty result
+        row = embeddings.select(vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).first()
         if row is None or row[0] is None:
             return embeddings.sparkSession.createDataFrame(
                 [], "vec_id_a long, vec_id_b long, cosine_x1e4 long"
@@ -399,18 +437,20 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, n_planes)
     if strategy == "auto":
         strategy = "expr" if planes.size <= EXPR_LITERAL_LIMIT else "udf"
-    per = n_planes // n_bands
     if strategy == "udf":
-        band_sigs = [
-            lsh_signature_udf(embeddings, vec_col, planes[j * per:(j + 1) * per])
-            for j in range(n_bands)
-        ]
+        # ONE Arrow UDF evaluation and ONE matmul per batch, all bands
+        # sliced from the same bit matrix — n_bands separate per-band
+        # UDFs would pay the Python-worker + BLAS cost n_bands times on
+        # exactly the path that only runs at scale
+        bands_col = banded_signature_udf(embeddings, vec_col, planes, n_bands)
     else:
-        band_sigs = banded_signature_exprs(F.col(vec_col), planes, n_bands)
+        bands_col = F.array(
+            *banded_signature_exprs(F.col(vec_col), planes, n_bands)
+        )
     tagged = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.posexplode(F.array(*band_sigs)).alias("band_idx", "band_sig"),
+        F.posexplode(bands_col).alias("band_idx", "band_sig"),
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (

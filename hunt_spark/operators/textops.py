@@ -695,12 +695,21 @@ def near_dup_clusters(
 
 def _token_ngrams(tokens: Column, n: int) -> Column:
     """array<string> tokens -> array<string> of space-joined token
-    n-grams, pure Catalyst (sequence + transform, 0-based indexing)."""
-    parts = [f"t[i - 1 + {j}]" for j in range(n)]
-    joined = ", ' ', ".join(parts)
-    return F.expr(
-        f"transform(sequence(1, size(t) - {n - 1}), i -> concat({joined}))"
-    )
+    n-grams, pure Catalyst (sequence + transform over the PASSED
+    column, not a hardcoded name). Arrays shorter than n yield an
+    empty gram array (the guard matters: an unguarded
+    sequence(1, size-n+1) DESCENDS when size < n)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ",
+            *[F.element_at(tokens, (i + F.lit(j)).cast("int")) for j in range(n)],
+        )
+
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
@@ -807,6 +816,27 @@ _SAMPLE_HASH_MULT = 2654435761
 _SAMPLE_HASH_MOD = 1 << 32
 
 
+def _key_hash(key_col: str) -> Column:
+    """h(key) = ((key mod 2^32) * 2654435761) mod 2^32, computed so no
+    intermediate leaves int64 range for ANY long key. A naive
+    `key * MULT` overflows for |key| > ~3.47e9 — an ARITHMETIC_OVERFLOW
+    job kill under Spark's default ANSI mode, a sign-biased wrap (every
+    row kept) without it — and real doc_ids are xxhash64 values, so
+    virtually every key is in that range. Split 16/16: with
+    k = hi*2^16 + lo,  k*M mod 2^32 = (lo*M + ((hi*M) mod 2^16)*2^16)
+    mod 2^32, and every term stays < 2^48. Oracles over small
+    non-negative keys may keep the plain one-multiply form — the values
+    agree wherever that form doesn't overflow."""
+    k = F.pmod(F.col(key_col).cast("long"), F.lit(_SAMPLE_HASH_MOD))
+    lo = k % F.lit(1 << 16)
+    hi = (k - lo) / F.lit(1 << 16)
+    hi = hi.cast("long")
+    return (
+        lo * F.lit(_SAMPLE_HASH_MULT)
+        + ((hi * F.lit(_SAMPLE_HASH_MULT)) % F.lit(1 << 16)) * F.lit(1 << 16)
+    ) % F.lit(_SAMPLE_HASH_MOD)
+
+
 def sample_stratified(
     docs: DataFrame,
     rates: dict[str, float],
@@ -830,9 +860,7 @@ def sample_stratified(
     thr: Column = F.lit(int(round(default_rate * _SAMPLE_HASH_MOD)))
     for s, v in sorted(thresholds.items()):
         thr = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(thr)
-    h = (F.col(key_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)) % F.lit(
-        _SAMPLE_HASH_MOD
-    )
+    h = _key_hash(key_col)
     return docs.filter(h < thr)
 
 
@@ -904,9 +932,7 @@ def sample_weighted(
         frac_thr = F.when(
             F.col(strata_col) == s, F.lit(int(round((r % 1) * _SAMPLE_HASH_MOD)))
         ).otherwise(frac_thr)
-    h = (F.col(key_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)) % F.lit(
-        _SAMPLE_HASH_MOD
-    )
+    h = _key_hash(key_col)
     n_copies = (base + (h < frac_thr).cast("long")).alias("n_copies")
     seq = F.when(
         n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)

@@ -218,20 +218,22 @@ class Crawler:
         self._robots: dict[str, list[tuple[str, bool]]] = {}
 
     # -- robots ------------------------------------------------------
-    def _robots_rules(self, host: str) -> list[tuple[str, bool]]:
-        if host not in self._robots:
+    def _robots_rules(self, host: str, scheme: str = "http") -> list[tuple[str, bool]]:
+        # host is an authority (host[:port]); cache case-insensitively
+        key = host.lower()
+        if key not in self._robots:
             # load-on-first-contact like robotsAddHost (Robots.hs:35-45)
             rules: list[tuple[str, bool]] = []
             try:
-                _u, status, body = self.cfg.fetcher(f"http://{host}/robots.txt")
+                _u, status, body = self.cfg.fetcher(f"{scheme}://{host}/robots.txt")
                 if status == 200 and body is not None:
                     if isinstance(body, (bytes, bytearray)):
                         body = body.decode("utf-8", errors="replace")
                     rules = parse_robots_txt(self.cfg.agent, body)
             except Exception:  # noqa: BLE001 — unreachable robots = allow
                 rules = []
-            self._robots[host] = rules
-        return self._robots[host]
+            self._robots[key] = rules
+        return self._robots[key]
 
     def _robots_filter(self, taken: DataFrame) -> DataFrame:
         """Drop robots-disallowed URIs from the round's batch. The batch
@@ -240,12 +242,25 @@ class Crawler:
         broadcast-rules pandas UDF over the batch."""
         if not self.cfg.robots_enabled:
             return taken
-        hosts = [
-            r["h"] for r in taken.select(
-                F.expr("parse_url(url, 'HOST')").alias("h")
-            ).distinct().collect() if r["h"]
-        ]
-        rules = {h: self._robots_rules(h) for h in hosts}
+        # key rules by LOWERCASED AUTHORITY (host[:port]) and fetch
+        # robots.txt on the page's own scheme+authority: the old code
+        # keyed by parse_url HOST (no port) but looked up by
+        # urlsplit().netloc (with port), so robots.txt was silently
+        # un-enforced for any URL with an explicit port or uppercase
+        # host — and always fetched over plain http, which https-only
+        # sites refuse. Per RFC 9309 rules bind to scheme+authority.
+        auths = {
+            r["a"].lower(): (r["s"] or "http", r["a"])
+            for r in taken.select(
+                F.expr("parse_url(url, 'AUTHORITY')").alias("a"),
+                F.expr("parse_url(url, 'PROTOCOL')").alias("s"),
+            ).distinct().collect()
+            if r["a"]
+        }
+        rules = {
+            key: self._robots_rules(auth, scheme=scheme)
+            for key, (scheme, auth) in auths.items()
+        }
         bc = self.spark.sparkContext.broadcast(rules)
 
         @F.pandas_udf("boolean")
@@ -257,7 +272,7 @@ class Crawler:
                     return True
                 parts = urlsplit(u)
                 return not robots_disallow(
-                    rmap.get(parts.netloc, []), parts.path or ""
+                    rmap.get(parts.netloc.lower(), []), parts.path or ""
                 )
 
             return urls.map(ok)
@@ -366,6 +381,12 @@ class Crawler:
         frontier = (
             frontier.unionByName(cand)
             .groupBy("url").agg(F.min("level").alias("level"))
+            # a redirect's final_url may ALREADY be queued in the
+            # frontier from a normal link; it just became seen, so it
+            # must leave the queue or a later round fetches it a second
+            # time (double budget spend; cand's own anti-join can't see
+            # carried-over frontier rows)
+            .join(seen, "url", "left_anti")
             .localCheckpoint(eager=True)
         )
         seen = seen.localCheckpoint(eager=True)

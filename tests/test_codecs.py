@@ -165,3 +165,28 @@ def test_spark_decode_image_and_audio_real_path(spark):
     assert agot[2] is None  # a PNG is not decodable audio
     # RMS of a full-scale sine ~ 1/sqrt(2)
     assert abs(float(np.mean(agot[1])) - 1 / np.sqrt(2)) < 0.05
+
+
+def test_decode_png_lying_ihdr_length_raises_valueerror():
+    """An IHDR chunk declaring a length != 13 used to escape as
+    struct.error, which multimodal._decode_op's ValueError-only catch
+    would not contain — one corrupt blob would kill the whole job."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from hunt_spark.functions.codecs import PNG_MAGIC, decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        PNG_MAGIC
+        + chunk(b"IHDR", _struct.pack(">IIBBBB", 1, 1, 8, 0, 0, 0))  # 12 bytes
+        + chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)

@@ -279,3 +279,78 @@ def test_unfetchable_urls_do_not_kill_the_crawl(spark):
     # node 1 consumed budget but produced nothing; nodes only reachable
     # via it are absent
     assert got == {i: l for i, l in want.items()}
+
+
+def test_robots_enforced_with_explicit_port(spark):
+    """Rules used to be keyed by parse_url HOST (no port) but looked up
+    by netloc (with port) — robots.txt was silently un-enforced for any
+    URL carrying an explicit port. Keyed by authority now."""
+    base = "http://h0.test:8080"
+
+    def fetcher(url):
+        if url == f"{base}/robots.txt":
+            return (url, 200, b"User-agent: *\nDisallow: /dprivate\n")
+        if url == f"{base}/da":
+            html = (
+                f'<a href="{base}/dprivate1">p</a>'
+                f'<a href="{base}/db">n</a>'
+            ).encode()
+            return (url, 200, html)
+        return (url, 200, b"<html>leaf</html>")
+
+    docs = crawl(
+        spark,
+        CrawlConfig(
+            seeds=[f"{base}/da"],
+            fetcher=fetcher,
+            follow_allow=[r"^http://h0\.test:8080/d"],
+        ),
+    )
+    urls = {r["url"] for r in docs.collect()}
+    assert f"{base}/db" in urls
+    assert f"{base}/dprivate1" not in urls
+
+
+def test_redirect_target_not_fetched_twice(spark, tmp_path):
+    """A redirect's final_url that is ALSO queued in the frontier via a
+    normal link must leave the queue once seen — the old frontier only
+    anti-joined against the taken batch, so the target was fetched a
+    second time in a later round (double budget spend, hidden by the
+    final dedup window). The fetch log is written by the executor-side
+    fetcher, so it sees every real fetch."""
+    log = str(tmp_path / "fetch.log")
+    site = synthetic_site(N, redirect_mod=7)
+
+    def fetcher(url):
+        if not url.endswith("/robots.txt"):
+            with open(log, "a") as f:
+                f.write(url + "\n")
+        return site(url)
+
+    docs = crawl(
+        spark,
+        CrawlConfig(
+            seeds=[url_of(0)],
+            fetcher=fetcher,
+            follow_allow=FOLLOW,
+            # small rounds so redirect targets can be QUEUED but not
+            # yet taken when their redirecting source is fetched — the
+            # exact state the bug needs (a full-frontier batch never
+            # leaves anything behind to double-fetch)
+            batch_docs=8,
+        ),
+    )
+    n_docs = docs.count()
+    assert n_docs == 85
+    from collections import Counter
+
+    counts = Counter(open(log).read().split())
+    dups = {u: c for u, c in counts.items() if c > 1}
+    assert dups == {}
+    # the waste surfaces as request COUNT, not duplicates: the target
+    # is requested under its own URL once — but it shouldn't have been
+    # requested AT ALL after arriving via a redirect. Deterministic
+    # site + ordering => exactly 92 requests with the frontier⟂seen
+    # anti-join, 93 without it (measured on the unfixed code; the doc
+    # table reads 85 either way — the final dedup window hides it)
+    assert sum(counts.values()) == 92

@@ -187,3 +187,27 @@ def test_near_dup_empty_and_bad_bands(spark, emb):
     assert embedding_near_dup_pairs(empty).count() == 0
     with pytest.raises(ValueError):
         embedding_near_dup_pairs(emb, n_planes=10, n_bands=4)
+
+
+def test_near_dup_null_first_vector_does_not_degenerate(spark, emb):
+    """dim-sniff used .first(): a NULL embedding in row one returned an
+    EMPTY pairs frame for the whole table. Nulls must be skipped for
+    sniffing and must flow through both signature strategies as
+    null (dropped by the band join), not crash the Arrow kernel."""
+    from hunt_spark.operators.similarity import embedding_near_dup_pairs
+
+    nulled = spark.createDataFrame(
+        [(10**9, None)], "vec_id long, embedding array<float>"
+    ).unionByName(emb.select("vec_id", "embedding").orderBy("vec_id"))
+    base = set(
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    )
+    for strat in ("expr", "udf"):
+        got = set(
+            (r["vec_id_a"], r["vec_id_b"])
+            for r in embedding_near_dup_pairs(
+                nulled, threshold=0.45, strategy=strat, dim=None
+            ).collect()
+        )
+        assert got == base

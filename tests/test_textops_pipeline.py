@@ -249,3 +249,32 @@ def test_weighted_zero_rate_drops_all(spark):
         "lang", F.lit("en")
     )
     assert textops.sample_weighted(docs, {"en": 0.0}, 1.0).count() == 0
+
+
+def test_sample_hash_safe_at_full_long_range(spark):
+    """Real doc_ids are xxhash64 values (full signed-long range). The
+    naive key*MULT hash overflows int64 there — ANSI job kill or
+    sign-biased keep-everything. Pin the split-multiply form against
+    exact python big-int arithmetic at the extremes."""
+    keys = [
+        0, 1, 3_470_000_000, -1, -(1 << 62), (1 << 63) - 1,
+        -9_223_372_036_854_775_808, 1234567890123456789,
+        -3735928559123456789,
+    ]
+    docs = spark.createDataFrame(
+        [(k, "en") for k in keys], "doc_id long, lang string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in textops.sample_stratified(docs, {}, 0.5).collect()
+    }
+    expected = {
+        k for k in keys if (k * 2654435761) % (1 << 32) < (1 << 31)
+    }
+    assert kept == expected
+    # weighted path shares the hash
+    w = {
+        r["doc_id"]
+        for r in textops.sample_weighted(docs, {}, 0.5).collect()
+    }
+    assert w == expected
