@@ -829,8 +829,7 @@ def _key_hash(key_col: str) -> Column:
     agree wherever that form doesn't overflow."""
     k = F.pmod(F.col(key_col).cast("long"), F.lit(_SAMPLE_HASH_MOD))
     lo = k % F.lit(1 << 16)
-    hi = (k - lo) / F.lit(1 << 16)
-    hi = hi.cast("long")
+    hi = F.shiftright(k, 16)  # k >= 0 after pmod, so this is exact div
     return (
         lo * F.lit(_SAMPLE_HASH_MULT)
         + ((hi * F.lit(_SAMPLE_HASH_MULT)) % F.lit(1 << 16)) * F.lit(1 << 16)
