@@ -218,6 +218,23 @@ def _pii_planted(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", text.alias("text"))
 
 
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus is single-line; derive a deterministic
+    multi-line twin (every 3 tokens -> one line, '\\n'-joined) so the
+    txt_line_dedup gate exercises real cross-document line repeats —
+    the tiny vocabulary makes 3-token lines collide across docs just
+    like site boilerplate does. The oracle builds the identical text,
+    so the gate checks the operator, not the derivation."""
+    tk = F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)
+    n_lines = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
+    line = lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * 3 + 1, 3))
+    text = F.when(
+        F.size(tk) >= 1,
+        F.concat_ws("\n", F.transform(F.sequence(F.lit(1), n_lines), line)),
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", text.alias("text"))
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
     """Build (once per sf_dir) a single-context index over documents."""
     eng = _ENGINES.get(sf_dir)
@@ -492,6 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir),
             _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0),
             n=3,
+        ),
+        # C4-rule corpus-level line dedup: lines occurring >= 4 times
+        # across the whole corpus are boilerplate and stripped from
+        # every doc, original line order preserved (3-token derived
+        # lines — see _multiline_docs)
+        "txt_line_dedup": lambda spark, sf_dir: textops.line_dedup(
+            _multiline_docs(_docs(spark, sf_dir)), min_dup_count=4
         ),
         # deterministic hash-based stratified sampling: per-lang rates,
         # membership a pure function of doc_id (reproducible, engine-
@@ -1238,6 +1262,40 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac_x1e4
             FROM g LEFT JOIN b ON g.gram = b.b_gram
             GROUP BY g.doc_id
+        """,
+        "txt_line_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '\w+') AS tk
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         generate_series(1, CAST(ceil(len(tk) / 3.0) AS INT)),
+                         i -> array_to_string(tk[(i - 1) * 3 + 1 : i * 3], ' ')),
+                       s -> s <> '') AS lines
+              FROM d WHERE len(tk) >= 1
+            ),
+            e0 AS (
+              SELECT doc_id, lines,
+                     unnest(generate_series(1, len(lines))) AS pos
+              FROM m
+            ),
+            e AS (SELECT doc_id, pos, lines[pos] AS line FROM e0),
+            c AS (SELECT line, count(*) AS cnt FROM e GROUP BY 1),
+            b AS (SELECT line AS b_line FROM c WHERE cnt >= 4)
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE b.b_line IS NULL) AS BIGINT)
+                     AS n_kept,
+                   coalesce(
+                     string_agg(e.line, chr(10) ORDER BY e.pos)
+                       FILTER (WHERE b.b_line IS NULL),
+                     '') AS kept_text
+            FROM e LEFT JOIN b ON e.line = b.b_line
+            GROUP BY e.doc_id
         """,
         "op_sample_stratified": r"""
             SELECT doc_id, lang FROM documents

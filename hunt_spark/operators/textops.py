@@ -937,3 +937,76 @@ def sample_weighted(
         n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
     ).otherwise(F.array().cast("array<long>"))
     return docs.withColumn("copy_idx", F.explode(seq))
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_dup_count: int = 2,
+    text_col: str = "text",
+    broadcast_banned: bool = True,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 "discard any line that
+    occurred more than once in the dataset" rule, Raffel et al. 2020
+    §2.2; RefinedWeb and FineWeb run the same stage): split every
+    document into lines, count each distinct trimmed non-empty line's
+    occurrences across the WHOLE corpus, and strip lines occurring
+    ``min_dup_count``-or-more times — navigation bars, cookie banners
+    and share buttons repeat across a site's pages; prose doesn't.
+
+    Returns (doc_id, n_lines, n_kept, kept_text): kept_text is the
+    surviving lines re-joined with ``\\n`` in their ORIGINAL order
+    (pos is carried through the shuffle and the array re-sorted on
+    it — groupBy order is otherwise nondeterministic). Documents with
+    zero non-empty lines emit NO row (nothing measurable, same
+    convention as quality_stats); documents whose every line is
+    banned emit n_kept=0 / kept_text=''.
+
+    Scale: one explode -> two aggregations. The banned-line dictionary
+    is the output of a partial-agg groupBy on the line string (map-side
+    combine collapses each partition's repeats before the shuffle), and
+    is tiny next to the corpus — C4 held it in memory; broadcast it
+    (default) so the membership probe is map-side and the only
+    corpus-wide shuffle is the per-doc reassembly on doc_id, which no
+    hot LINE can skew (doc_id is the key). Pass
+    ``broadcast_banned=False`` only if the banned set is known to be
+    too large for executor memory; the fallback shuffle-join then
+    routes every copy of a hot banned line to one partition — the
+    exact skew the broadcast avoids."""
+    lines = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n"), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("pos", "line"),
+        )
+    )
+    banned = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_dup_count)
+        .select(F.col("line").alias("b_line"))
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    tagged = lines.join(
+        banned, F.col("line") == F.col("b_line"), "left"
+    ).select(
+        "doc_id", "pos", "line", F.col("b_line").isNotNull().alias("is_banned")
+    )
+    kept_structs = F.filter(
+        F.sort_array(F.collect_list(F.struct("pos", "line", "is_banned"))),
+        lambda s: ~s["is_banned"],
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((~F.col("is_banned")).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["line"]), "\n"
+        ).alias("kept_text"),
+    )
