@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from hunt_spark.engine import HuntEngine
 from hunt_spark.operators import events as evt
 from hunt_spark.operators import multimodal as mm
-from hunt_spark.operators import textops
+from hunt_spark.operators import textops, urlops
 from hunt_spark.operators.build import BuildConfig
 from hunt_spark.operators.similarity import (
     cosine_topk,
@@ -233,6 +233,43 @@ def _multiline_docs(docs: DataFrame) -> DataFrame:
         F.concat_ws("\n", F.transform(F.sequence(F.lit(1), n_lines), line)),
     ).otherwise(F.lit(""))
     return docs.select("doc_id", text.alias("text"))
+
+
+def _web_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy URL per document, exercising every
+    canonicalization rule: upper-case scheme/host, `www.`, matching
+    default ports, trailing slash, utm tracking params (adjacent AND
+    all-utm cases), fragments. The oracle constructs the CANONICAL
+    form directly from the clean parts, so the gate checks the
+    canonicalizer against independent ground truth rather than a
+    mirrored regex (which could be wrong the same way twice)."""
+    d = F.col("doc_id")
+    even = d % 2 == 0
+    url = F.concat(
+        F.when(even, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(even & (d % 5 == 0), F.lit(":80"))
+        .when(d % 5 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/Doc"),
+        d.cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            even,
+            F.concat(
+                F.lit("?utm_source=t&q="), d.cast("string"), F.lit("&utm_medium=m")
+            ),
+        )
+        .when(d % 7 == 0, F.lit("?utm_a=1&utm_b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> HuntEngine:
@@ -540,6 +577,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compose (Catalyst fuses the per-doc stages; every join is on
         # doc_id, the dedup side is min-per-hash-group)
         "pipeline_kept": lambda spark, sf_dir: _pipeline_kept(spark, sf_dir),
+        # --- web-corpus URL operators ---
+        # canonicalization: fragment / case / default-port / www. /
+        # utm params / trailing slash, one Catalyst pass; the oracle
+        # builds the expected canonical form constructively
+        "web_url_canonical": lambda spark, sf_dir: _web_urls(
+            _docs(spark, sf_dir)
+        ).select(
+            "doc_id", urlops.canonicalize_url(F.col("url")).alias("canon_url")
+        ),
+        # deterministic per-domain cap (FineWeb "limit docs per
+        # domain"): keep the cap smallest (key_hash, doc_id) per host,
+        # map-side top-k prune before the exact window
+        "web_domain_cap": lambda spark, sf_dir: urlops.domain_cap(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("doc_id") % 25).cast("string"),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+            ),
+            cap=7,
+        ),
         # --- deduplication ---
         "dedup_exact": lambda spark, sf_dir: textops.dedup_exact(
             _docs(spark, sf_dir)
@@ -1355,6 +1416,31 @@ def oracle_sql() -> dict[str, str]:
               CASE d.lang WHEN 'en' THEN 2147483648
                           WHEN 'zh' THEN 429496730
                           ELSE 1073741824 END
+        """,
+        # canonical URL built CONSTRUCTIVELY from the clean parts (the
+        # Spark side canonicalizes the messy spelling _web_urls built):
+        # lower scheme+host, no www./port/fragment, path case kept, no
+        # trailing slash, only the non-utm param survives
+        "web_url_canonical": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                   || '://' || source || '.example.com/' || lang
+                   || '/Doc' || doc_id
+                   || (CASE WHEN doc_id % 2 = 0 THEN '?q=' || doc_id
+                       ELSE '' END) AS canon_url
+            FROM documents
+        """,
+        "web_domain_cap": r"""
+            WITH b AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'h' || (doc_id % 25) || '.example.com' AS host,
+                     (doc_id * 2654435761) % 4294967296 AS hh
+              FROM documents)
+            SELECT doc_id, host FROM (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY hh, doc_id) AS rn
+              FROM b) WHERE rn <= 7
         """,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "

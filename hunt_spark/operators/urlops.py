@@ -1,0 +1,127 @@
+"""Web-corpus URL operators: canonicalization and per-domain capping.
+
+A Common-Crawl-style pipeline sees the same page under many spellings
+(scheme/host case, default ports, `www.`, tracking params, fragments,
+trailing slashes) and sees a few giant hosts contribute an outsized
+share of documents. Canonicalization collapses the spellings so
+URL-level dedup and host statistics work; the domain cap bounds any
+single host's contribution to the training mixture (the FineWeb /
+RefinedWeb "limit documents per domain" rule) deterministically, so
+reruns and resumes keep the identical subset.
+
+Everything here is built-in Catalyst expressions except the domain
+cap's per-partition top-k pre-prune, which is an Arrow-batched
+mapInPandas combiner (see domain_cap for why a plain window doesn't
+survive a hot host at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hunt_spark.operators.textops import _key_hash
+
+# scheme://authority prefix (RFC 3986 scheme chars), used to split the
+# case-insensitive part of a URL from the case-sensitive path/query
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """One canonical spelling per resource. Rules, in order:
+
+    1. drop the fragment (`#...` — client-side only, never sent);
+    2. lowercase the scheme and authority (case-insensitive per RFC
+       3986 §3.1/§3.2.2) — the path/query keep their case;
+    3. drop default ports (`:80` for http, `:443` for https);
+    4. drop a leading `www.`;
+    5. drop `utm_*` tracking parameters, preserving the order of the
+       survivors (parameter order is NOT normalized — it can be
+       semantically significant, so sorting would over-merge);
+    6. drop a trailing slash from the path.
+
+    All six are single-pass Catalyst expressions (regex + array ops,
+    no lookaround — RE2-safe so the DuckDB oracle can mirror them
+    exactly). The utm filter splits the query on `&` and rebuilds it,
+    because a global regex replace cannot handle adjacent tracking
+    params (the scan resumes after each replacement and misses the
+    next one)."""
+    u = F.regexp_replace(url, "#.*", "")
+    auth = F.regexp_extract(u, f"({_AUTHORITY_RE[1:]})", 1)
+    rest = F.regexp_replace(u, _AUTHORITY_RE, "")
+    u = F.concat(F.lower(auth), rest)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    base = F.regexp_replace(F.regexp_replace(u, r"\?.*", ""), "/$", "")
+    qs = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    return F.concat(
+        base,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of the canonical URL (port and `www.` already
+    stripped by canonicalization)."""
+    return F.regexp_extract(
+        canonicalize_url(url), r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host, chosen deterministically
+    as the ``cap`` smallest ``(key_hash, key)`` pairs — a pure function
+    of the row, so the kept subset is identical under rerun, resume and
+    any partition layout (the same property sample_stratified relies
+    on). Returns (doc_id, host) of the kept rows.
+
+    Scale: per-group top-k, NOT a window over the raw corpus — a plain
+    ``row_number() over (partition by host)`` shuffles every row of a
+    hot host (a 10^8-page domain at CC scale) to one task and sorts it
+    there: the classic straggler. Instead, a map-side combiner
+    (mapInPandas, Arrow batches) keeps each PARTITION's cap-smallest
+    rows per host — bounded memory, never more rows held than seen —
+    which is a superset of every host's global top-cap (any global
+    winner is its partition's local winner too). Only the pruned
+    stream, <= cap x n_partitions rows per host, flows into the exact
+    final window. Hosts with <= cap rows pass the prune untouched, so
+    no separate under-cap fast path is needed."""
+    base = docs.select(
+        F.col(key_col).cast("long").alias("doc_id"),
+        host_of(F.col(url_col)).alias("host"),
+        _key_hash(key_col).alias("h"),
+    )
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[str, pd.DataFrame] = {}
+        for pdf in batches:
+            for host, g in pdf.groupby("host"):
+                cur = best.get(host)
+                merged = g if cur is None else pd.concat((cur, g))
+                best[host] = merged.sort_values(["h", "doc_id"]).head(cap)
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = base.mapInPandas(prune, schema="doc_id long, host string, h long")
+    w = Window.partitionBy("host").orderBy("h", "doc_id")
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "host")
+    )
