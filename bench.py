@@ -24,8 +24,9 @@ import time
 
 from pyspark.sql import functions as F
 
+import __spark_entry__ as entry_mod
 from hunt_spark.engine import HuntEngine
-from hunt_spark.operators import textops
+from hunt_spark.operators import textops, urlops
 from hunt_spark.operators.build import BuildConfig
 from hunt_spark.operators.similarity import cosine_topk
 from hunt_spark.session import get_spark
@@ -114,6 +115,26 @@ def main() -> None:
         # dedup/sample) — the end-to-end pipeline number
         "op_curate": lambda: textops.curate(
             docs, rates={"en": 0.5, "zh": 0.1}, default_rate=0.25
+        ).count(),
+        # C4-rule corpus-level line dedup over the derived multi-line
+        # twin (same derivation the txt_line_dedup gate uses)
+        "op_line_dedup": lambda: textops.line_dedup(
+            entry_mod._multiline_docs(docs), min_dup_count=4
+        ).count(),
+        # canonicalize + deterministic per-domain cap over synthetic
+        # messy URLs (canonicalization runs inside host_of)
+        "op_domain_cap": lambda: urlops.domain_cap(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("HTTP://WWW.h"),
+                    (F.col("doc_id") % 199).cast("string"),
+                    F.lit(".Example.COM:80/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_s=1&k=2#f"),
+                ).alias("url"),
+            ),
+            cap=10,
         ).count(),
     }
     op_times: dict[str, list[float]] = {name: [] for name in ops}
