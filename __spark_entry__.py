@@ -586,6 +586,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "doc_id", urlops.canonicalize_url(F.col("url")).alias("canon_url")
         ),
+        # URL-level dedup: 10 messy spellings per canonical URL at
+        # sf0.01 (scheme case / www. / default port / trailing slash /
+        # fragment all collapse); keep = max n_chars, ties min doc_id
+        "web_url_dedup": lambda spark, sf_dir: urlops.url_dedup(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                "n_chars",
+                F.concat(
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP"))
+                    .otherwise(F.lit("http")),
+                    F.lit("://"),
+                    F.when(F.col("doc_id") % 3 == 0, F.lit("WWW."))
+                    .otherwise(F.lit("")),
+                    F.lit("Site.Example.COM"),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(":80"))
+                    .otherwise(F.lit("")),
+                    F.lit("/page/"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.when(F.col("doc_id") % 4 == 0, F.lit("/"))
+                    .otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 6 == 0, F.lit("#Sec"))
+                    .otherwise(F.lit("")),
+                ).alias("url"),
+            ),
+            quality_col="n_chars",
+        ),
+        # URL filtering: host blocklist (broadcast anti-join) + banned-
+        # pattern score <= max_score over the canonical URL
+        "web_url_filter": lambda spark, sf_dir: urlops.url_filter(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("doc_id") % 25).cast("string"),
+                    F.lit(".example.com/"),
+                    F.when(F.col("doc_id") % 11 == 0, F.lit("casino-"))
+                    .otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 13 == 0, F.lit("poker-"))
+                    .otherwise(F.lit("")),
+                    F.lit("page/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+            ),
+            blocked_hosts=["h3.example.com", "h7.example.com"],
+            banned_patterns=["casino", "poker"],
+            max_score=1,
+        ),
         # deterministic per-domain cap (FineWeb "limit docs per
         # domain"): keep the cap smallest (key_hash, doc_id) per host,
         # map-side top-k prune before the exact window
@@ -1429,6 +1476,35 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 2 = 0 THEN '?q=' || doc_id
                        ELSE '' END) AS canon_url
             FROM documents
+        """,
+        "web_url_dedup": r"""
+            WITH b AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+                     'http://site.example.com/page/' || (doc_id % 50)
+                       AS canon_url
+              FROM documents),
+            r AS (
+              SELECT canon_url, doc_id,
+                     row_number() OVER (PARTITION BY canon_url
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rn
+              FROM b),
+            c AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM b GROUP BY 1)
+            SELECT c.canon_url, c.n_docs, r.doc_id AS keep_doc_id
+            FROM c JOIN r ON c.canon_url = r.canon_url AND r.rn = 1
+        """,
+        "web_url_filter": r"""
+            WITH b AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'h' || (doc_id % 25) || '.example.com' AS host,
+                     CAST((CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                        AS INT) AS url_score
+              FROM documents)
+            SELECT doc_id, host, url_score FROM b
+            WHERE host NOT IN ('h3.example.com', 'h7.example.com')
+              AND url_score <= 1
         """,
         "web_domain_cap": r"""
             WITH b AS (

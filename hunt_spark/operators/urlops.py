@@ -17,7 +17,7 @@ survive a hot host at scale).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -76,6 +76,80 @@ def host_of(url: Column) -> Column:
     stripped by canonicalization)."""
     return F.regexp_extract(
         canonicalize_url(url), r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One document per canonical URL. A Common-Crawl-style corpus
+    carries the same page many times (recrawls, spelling variants);
+    this keeps, per canonical URL, the highest-``quality_col`` row
+    (ties and the no-quality case → smallest ``key_col``). Returns
+    (canon_url, n_docs, keep_doc_id).
+
+    Single shuffle on canon_url with map-side partial aggregation — a
+    lexicographic struct max, not a window over the raw corpus. The
+    descending key tie-break rides in the same max as ``~key``
+    (bitwise NOT is order-reversing on the full long range — unary
+    minus overflows at LONG_MIN under ANSI mode)."""
+    base = docs.select(
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        F.col(key_col).cast("long").alias("k"),
+        (
+            F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
+        ).alias("q"),
+    )
+    best = base.groupBy("canon_url").agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.struct(F.col("q"), F.bitwise_not(F.col("k")).alias("nk"))).alias(
+            "b"
+        ),
+    )
+    return best.select(
+        "canon_url", "n_docs", F.bitwise_not(F.col("b.nk")).alias("keep_doc_id")
+    )
+
+
+def url_filter(
+    docs: DataFrame,
+    blocked_hosts: Sequence[str] = (),
+    banned_patterns: Sequence[str] = (),
+    max_score: int = 0,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering: drop documents whose canonical
+    host is on the blocklist, and score the lowercased canonical URL
+    against banned patterns (1 per matching pattern), keeping rows with
+    ``url_score <= max_score``. Returns (doc_id, host, url_score) of
+    the kept rows.
+
+    The blocklist joins as a broadcast LEFT ANTI on host — list-sized,
+    never a shuffle of the corpus (real blocklists run to ~10^6 hosts:
+    fine to broadcast, fatal to `isin`-inline into the plan). The
+    pattern score is a sum of `rlike` flags, one JVM regex pass each —
+    keep patterns RE2-compatible (no lookaround) so an oracle can
+    mirror them."""
+    u = F.lower(canonicalize_url(F.col(url_col)))
+    score = F.lit(0)
+    for p in banned_patterns:
+        score = score + F.when(u.rlike(p), 1).otherwise(0)
+    base = docs.select(
+        F.col(key_col).cast("long").alias("doc_id"),
+        host_of(F.col(url_col)).alias("host"),
+        score.cast("int").alias("url_score"),
+    )
+    if blocked_hosts:
+        blk = docs.sparkSession.createDataFrame(
+            [(h,) for h in blocked_hosts], "host string"
+        )
+        base = base.join(F.broadcast(blk), "host", "left_anti")
+    return base.filter(F.col("url_score") <= max_score).select(
+        "doc_id", "host", "url_score"
     )
 
 

@@ -94,6 +94,69 @@ def test_domain_cap_under_cap_hosts_untouched(spark):
     assert len(kept) == 12  # nothing dropped
 
 
+def test_url_dedup_keeps_best_quality_then_min_key(spark):
+    rows = [
+        # three spellings of ONE canonical url, varying quality
+        (1, "http://www.a.com/p", 10),
+        (2, "HTTP://A.com/p/", 30),
+        (3, "http://a.com/p#frag", 30),  # quality tie with 2 -> min key
+        # a singleton
+        (9, "https://b.org/x", 5),
+    ]
+    got = {
+        r["canon_url"]: (r["n_docs"], r["keep_doc_id"])
+        for r in urlops.url_dedup(
+            spark.createDataFrame(rows, "doc_id long, url string, q int"),
+            quality_col="q",
+        ).collect()
+    }
+    assert got == {"http://a.com/p": (3, 2), "https://b.org/x": (1, 9)}
+
+
+def test_url_dedup_no_quality_keeps_min_key(spark):
+    rows = [(5, "http://a.com/p"), (2, "http://www.a.com/p")]
+    got = urlops.url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    assert len(got) == 1 and got[0]["keep_doc_id"] == 2
+
+
+def test_url_dedup_negative_long_key_safe(spark):
+    # xxhash64 doc ids can be LONG_MIN: the ~key tie-break must not
+    # overflow where unary minus would
+    lmin = -(2**63)
+    rows = [(lmin, "http://a.com/p"), (7, "http://a.com/p")]
+    got = urlops.url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    assert got[0]["keep_doc_id"] == lmin
+
+
+def test_url_filter_blocklist_and_score(spark):
+    rows = [
+        (1, "http://good.com/page"),
+        (2, "http://Blocked.com/page"),  # host blocked (case-folded)
+        (3, "http://good.com/casino-page"),  # score 1
+        (4, "http://good.com/casino-poker"),  # score 2 > max_score
+    ]
+    kept = urlops.url_filter(
+        spark.createDataFrame(rows, "doc_id long, url string"),
+        blocked_hosts=["blocked.com"],
+        banned_patterns=["casino", "poker"],
+        max_score=1,
+    ).collect()
+    got = {r["doc_id"]: (r["host"], r["url_score"]) for r in kept}
+    assert got == {1: ("good.com", 0), 3: ("good.com", 1)}
+
+
+def test_url_filter_empty_config_keeps_all(spark):
+    rows = [(1, "http://a.com/x"), (2, "http://b.com/y")]
+    kept = urlops.url_filter(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
 def test_domain_cap_layout_independent(spark):
     docs = _docs(spark, 5, 9)
     a = sorted(
