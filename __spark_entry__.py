@@ -10,6 +10,8 @@ cannot flip the hash.
 
 from __future__ import annotations
 
+import datetime as _dt
+import os as _os
 import tempfile
 from collections.abc import Callable
 
@@ -20,6 +22,7 @@ from hunt_spark.engine import HuntEngine
 from hunt_spark.operators import events as evt
 from hunt_spark.operators import multimodal as mm
 from hunt_spark.operators import textops, urlops
+from hunt_spark.sources import warc as warc_src
 from hunt_spark.operators.build import BuildConfig
 from hunt_spark.operators.similarity import (
     cosine_topk,
@@ -233,6 +236,47 @@ def _multiline_docs(docs: DataFrame) -> DataFrame:
         F.concat_ws("\n", F.transform(F.sequence(F.lit(1), n_lines), line)),
     ).otherwise(F.lit(""))
     return docs.select("doc_id", text.alias("text"))
+
+
+_WARC_DIRS: dict[str, str] = {}
+
+
+def _warc_shards(sf_dir: str) -> str:
+    """Synthesize (once per sf_dir) 4 gzipped WARC shard files from the
+    documents table — response records with the doc text as body and
+    the doc_id in the target URI — so the src_warc_ingest gate drives
+    the real shard-file read path (binaryFile -> member-at-a-time gzip
+    -> record parse -> HTTP envelope split) against an oracle that
+    reads the same table directly. Fixture synthesis is driver-side
+    pandas over the gate corpus; the READ under test is distributed."""
+    d = _WARC_DIRS.get(sf_dir)
+    if d is None:
+        import pandas as _pd
+
+        from hunt_spark.sources import warc as _warc
+
+        pdf = _pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        d = tempfile.mkdtemp(prefix="hunt_warc_")
+        for shard in range(4):
+            part = pdf[pdf.doc_id % 4 == shard]
+            recs = [
+                {
+                    "type": "response",
+                    "uri": f"http://corpus.example.com/d/{int(r.doc_id)}",
+                    "date": _dt.datetime(2021, 1, 1),
+                    "record_id": f"<urn:uuid:{int(r.doc_id)}>",
+                    "http_status": 200,
+                    "content_type": "text/plain",
+                    "body": str(r.text).encode(),
+                }
+                for r in part.itertuples()
+            ]
+            with open(_os.path.join(d, f"shard{shard}.warc.gz"), "wb") as f:
+                f.write(_warc.write_warc_bytes(recs))
+        _WARC_DIRS[sf_dir] = d
+    return d
 
 
 def _web_urls(docs: DataFrame) -> DataFrame:
@@ -577,6 +621,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compose (Catalyst fuses the per-doc stages; every join is on
         # doc_id, the dedup side is min-per-hash-group)
         "pipeline_kept": lambda spark, sf_dir: _pipeline_kept(spark, sf_dir),
+        # WARC shard ingest: documents -> 4 .warc.gz shards (fixture
+        # synthesis) -> distributed binaryFile read + record parse +
+        # HTTP envelope split; oracle reads the table directly
+        "src_warc_ingest": lambda spark, sf_dir: warc_src.warc_df(
+            spark, _warc_shards(sf_dir)
+        ).select(
+            F.regexp_extract("target_uri", r"/d/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_status").cast("long").alias("http_status"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
         # --- web-corpus URL operators ---
         # canonicalization: fragment / case / default-port / www. /
         # utm params / trailing slash, one Catalyst pass; the oracle
@@ -1475,6 +1531,12 @@ def oracle_sql() -> dict[str, str]:
                    || '/Doc' || doc_id
                    || (CASE WHEN doc_id % 2 = 0 THEN '?q=' || doc_id
                        ELSE '' END) AS canon_url
+            FROM documents
+        """,
+        "src_warc_ingest": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(200 AS BIGINT) AS http_status,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
         """,
         "web_url_dedup": r"""
