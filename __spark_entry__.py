@@ -580,6 +580,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii": lambda spark, sf_dir: textops.pii_scan(
             _pii_planted(_docs(spark, sf_dir))
         ),
+        # text normalization pass: control-strip -> NFC (pandas
+        # Series.str.normalize, the one Arrow step) -> ws collapse;
+        # planted decomposed unicode + control chars on both sides
+        "txt_clean": lambda spark, sf_dir: textops.clean_text(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    # DECOMPOSED accents (e+U+0301, i+U+0308): the op
+                    # must compose them; \x07/\x0b are control-strips
+                    F.lit("  Cafe\u0301\tnai\u0308ve \x07x\x0b "),
+                ).alias("text"),
+            )
+        ),
         # Gopher-style intra-doc repetition fractions (dup / top 2-gram)
         "txt_repetition": lambda spark, sf_dir: textops.repetition_stats(
             _docs(spark, sf_dir), n=2
@@ -1460,6 +1474,17 @@ def oracle_sql() -> dict[str, str]:
                      '') AS kept_text
             FROM e LEFT JOIN b ON e.line = b.b_line
             GROUP BY e.doc_id
+        """,
+        "txt_clean": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   trim(regexp_replace(
+                     nfc_normalize(regexp_replace(
+                       text || '  Cafe' || chr(769) || chr(9) || 'nai'
+                            || chr(776) || 've ' || chr(7) || 'x'
+                            || chr(11) || ' ',
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+                     '\s+', ' ', 'g')) AS text_clean
+            FROM documents
         """,
         "op_sample_stratified": r"""
             SELECT doc_id, lang FROM documents

@@ -176,6 +176,40 @@ def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # C0 minus \t\n\r, +DEL
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Text normalization pass (the first stage of a web-corpus
+    pipeline, before any hashing or tokenizing — dedup keys and token
+    counts must not depend on the byte-level encoding the crawler
+    happened to capture): (1) strip control characters (C0 except
+    tab/newline/CR, plus DEL) — JVM regex; (2) Unicode-normalize to
+    ``form`` (NFC default: decomposed e+combining-accent sequences
+    become their composed form, so 'Café' hashes identically however
+    it was encoded) — Spark has no built-in normalizer, so this is the
+    one Arrow-batched pandas step (vectorized ``Series.str.normalize``,
+    no per-row python); (3) collapse whitespace runs to a single space
+    and trim — JVM again. Returns (doc_id, text_clean).
+
+    Step order matters and is pinned by tests: control-strip runs
+    FIRST so \\x0b/\\x0c never reach the whitespace collapse (Java's
+    ``\\s`` includes \\x0b, RE2's does not — stripping them first keeps
+    the operator oracle-mirrorable in any RE2 engine)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _unicode_norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    stripped = F.regexp_replace(F.col(text_col), _CONTROL_RE, "")
+    normed = _unicode_norm(stripped)
+    collapsed = F.trim(F.regexp_replace(normed, r"\s+", " "))
+    return docs.select("doc_id", collapsed.alias("text_clean"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

@@ -153,6 +153,57 @@ def url_filter(
     )
 
 
+def web_curate(
+    docs: DataFrame,
+    blocked_hosts: Sequence[str] = (),
+    banned_patterns: Sequence[str] = (),
+    max_url_score: int = 0,
+    domain_cap_n: int | None = None,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    quality_col: str | None = None,
+    **curate_kwargs,
+) -> DataFrame:
+    """The whole web-corpus curation front-end as ONE composed plan:
+    URL filter (blocklist + banned patterns) → URL-level keep-best
+    dedup → optional per-domain cap → the text curation chain
+    (``textops.curate``: quality floor → repetition ceiling → langid
+    drop → exact-dedup canonical keep → stratified sample). Returns
+    curate()'s release frame (doc_id, strata, n_tokens).
+
+    Each URL stage reduces to a doc_id keep-set joined LEFT SEMI onto
+    the corpus, so nothing document-sized is carried through the
+    URL stages and Catalyst is free to reorder the semi-joins; the
+    text stages then run only on URL-surviving rows. This is the
+    composition tests/test_web_pipeline.py drives end-to-end from a
+    WARC crawl through to a BM25 query."""
+    kept = docs
+    if blocked_hosts or banned_patterns:
+        ok = url_filter(
+            kept, blocked_hosts, banned_patterns, max_url_score,
+            url_col=url_col, key_col=key_col,
+        )
+        kept = kept.join(
+            ok.select(F.col("doc_id").alias(key_col)), key_col, "left_semi"
+        )
+    keep = url_dedup(
+        kept, url_col=url_col, key_col=key_col, quality_col=quality_col
+    )
+    kept = kept.join(
+        keep.select(F.col("keep_doc_id").alias(key_col)), key_col, "left_semi"
+    )
+    if domain_cap_n is not None:
+        capped = domain_cap(kept, domain_cap_n, url_col=url_col, key_col=key_col)
+        kept = kept.join(
+            capped.select(F.col("doc_id").alias(key_col)), key_col, "left_semi"
+        )
+    from hunt_spark.operators.textops import curate
+
+    if key_col != "doc_id":  # curate() keys on doc_id
+        kept = kept.withColumnRenamed(key_col, "doc_id")
+    return curate(kept, **curate_kwargs)
+
+
 def domain_cap(
     docs: DataFrame,
     cap: int,

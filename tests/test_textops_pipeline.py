@@ -278,3 +278,47 @@ def test_sample_hash_safe_at_full_long_range(spark):
         for r in textops.sample_weighted(docs, {}, 0.5).collect()
     }
     assert w == expected
+
+
+# ---------------------------------------------------------------------------
+# clean_text (unicode + whitespace normalization)
+# ---------------------------------------------------------------------------
+
+
+def test_clean_text_pins(spark):
+    import unicodedata
+
+    from hunt_spark.operators.textops import clean_text
+
+    rows = [
+        # DECOMPOSED e + combining acute (U+0301): NFC composes it and
+        # the whitespace runs collapse
+        (1, "Cafe\u0301  du\tmonde\r\n ok"),
+        (2, "a\x00b\x07c\x7fd"),            # control chars stripped
+        (3, "  x\x0b\x0cy  "),               # \x0b\x0c stripped BEFORE
+                                             # ws collapse -> 'xy'
+        (4, "nai\u0308ve"),                   # combining diaeresis
+        (5, ""),
+    ]
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in clean_text(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1] == "Caf\u00e9 du monde ok"  # composed form, single spaces
+    assert got[1] == unicodedata.normalize("NFC", "Cafe\u0301") + " du monde ok"
+    assert got[2] == "abcd"
+    assert got[3] == "xy"
+    assert got[4] == "na\u00efve" and len(got[4]) == 5  # 5 chars: composed
+    assert got[5] == ""
+
+
+def test_clean_text_nfkc_form(spark):
+    from hunt_spark.operators.textops import clean_text
+
+    rows = [(1, "ﬁle ①")]  # fi-ligature + circled one
+    got = clean_text(
+        spark.createDataFrame(rows, "doc_id long, text string"), form="NFKC"
+    ).collect()[0]["text_clean"]
+    assert got == "file 1"

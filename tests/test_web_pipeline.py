@@ -133,3 +133,15 @@ def test_warc_to_query_full_pipeline(spark, tmp_path):
     top = eng.search('"pinky and the brain"', k=3).collect()
     planted = final.filter(F.col("text").contains("pinky")).collect()
     assert planted and top and top[0]["doc_id"] == planted[0]["doc_id"]
+
+    # the library-level composition emits the same release set as the
+    # hand-composed chain above
+    composed = urlops.web_curate(
+        pages.withColumn("lang", F.lit("en")),
+        banned_patterns=["casino"],
+        max_url_score=0,
+        domain_cap_n=8,
+        quality_col="n_chars",
+        min_tokens=10,
+    )
+    assert {r["doc_id"] for r in composed.collect()} == kept_ids
