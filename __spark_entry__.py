@@ -731,6 +731,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda spark, sf_dir: textops.simhash_pairs(
             _docs(spark, sf_dir), max_hamming=3
         ),
+        # exact duplicated-substring spans (Lee et al. seed-grams):
+        # planted 7-token boilerplate tail on every 3rd doc; k=5
+        "dedup_substring": lambda spark, sf_dir: textops.dup_spans(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" common tail line alpha beta gamma delta"),
+                    ),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            ),
+            k=5,
+        ),
         # --- pairs -> clusters -> canonical keep/drop (the terminal
         # dedup step): connected components by alternating large/small
         # star rounds (Kiveris et al. SoCC'14), canonical = component
@@ -1609,6 +1626,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "
             "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
         ),
+        "dedup_substring": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text ||
+                            ' common tail line alpha beta gamma delta'
+                          ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk
+                  FROM src),
+            g AS (SELECT doc_id,
+                         unnest(generate_series(1, len(tk) - 4)) AS pos,
+                         tk
+                  FROM t WHERE len(tk) >= 5),
+            g2 AS (SELECT doc_id, pos,
+                          md5(array_to_string(tk[pos:pos+4], ' ')) AS g
+                   FROM g),
+            c AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM c)),
+            w AS (SELECT doc_id, pos,
+                         CASE WHEN pos > lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) + 5
+                              THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            i AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                  FROM w)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT)
+                     AS span_tokens
+            FROM i GROUP BY doc_id, island
+        """,
         "dedup_ngram_jaccard": _SHINGLE_PAIRS,
         # LSH with bands=8/rows=1 at this jaccard separation finds the
         # exact pair set — verified against the exhaustive oracle.

@@ -116,6 +116,8 @@ def main() -> None:
         "op_curate": lambda: textops.curate(
             docs, rates={"en": 0.5, "zh": 0.1}, default_rate=0.25
         ).count(),
+        # exact duplicated-substring spans (Lee et al. seed-grams)
+        "op_dup_spans": lambda: textops.dup_spans(docs, k=20).count(),
         # C4-rule corpus-level line dedup over the derived multi-line
         # twin (same derivation the txt_line_dedup gate uses)
         "op_line_dedup": lambda: textops.line_dedup(

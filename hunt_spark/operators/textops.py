@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hunt_spark.functions.analysis import tokenize_col
@@ -213,6 +213,68 @@ def clean_text(
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
+
+
+def dup_spans(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated-substring detection (the seed-gram form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): mark, per document, every maximal token span all
+    of whose length-``k`` windows occur at least twice in the corpus
+    (within- or cross-document). Returns (doc_id, span_start,
+    span_end, span_tokens), token positions 1-based inclusive —
+    downstream either drops the spans or drops docs dominated by them.
+
+    Shape at scale: one posexplode to (doc_id, pos, gram-key) — corpus
+    tokens × 1 rows, map-side; the global duplicate test is a single
+    count shuffle on the 128-bit gram key (md5 — engine-neutral so the
+    oracle can mirror it; the full gram string would shuffle k× more
+    bytes); span merging is a per-document lag/sum window — per-doc
+    data is doc-length-bounded, so no hot key beyond a pathological
+    single document. No suffix array: the seed-gram relaxation finds
+    exactly the spans whose every k-window repeats, which is the
+    k-token-resolution version of the suffix-array result and needs
+    only groupBy machinery a cluster already has."""
+    t = _spread(docs).select(
+        "doc_id", tokenize_col(text_col).alias("tk")
+    )
+    n = F.size("tk")
+    grams = (
+        t.filter(n >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, k))),
+                )
+            ).alias("off", "g"),
+        )
+        .select("doc_id", (F.col("off") + 1).alias("pos"), "g")
+    )
+    dup = grams.groupBy("g").count().filter(F.col("count") >= 2)
+    marked = grams.join(dup.select("g"), "g", "left_semi")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(wdoc) + k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn(
+        "island", F.sum(brk).over(wdoc)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:

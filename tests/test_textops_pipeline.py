@@ -322,3 +322,69 @@ def test_clean_text_nfkc_form(spark):
         spark.createDataFrame(rows, "doc_id long, text string"), form="NFKC"
     ).collect()[0]["text_clean"]
     assert got == "file 1"
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (exact duplicated-substring detection, Lee et al. seed-grams)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_spans_cross_doc_boilerplate(spark):
+    from hunt_spark.operators.textops import dup_spans
+
+    boiler = "q w e r t y u i"  # 8 shared tokens
+    rows = [
+        (1, f"a1 b1 c1 {boiler} d1 e1"),
+        (2, f"a2 {boiler} b2"),
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),  # no dup grams
+    ]
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=8
+        ).collect()
+    }
+    # doc1: boiler at tokens 4..11; doc2: at 2..9; doc3 none
+    assert got == {(1, 4, 11, 8), (2, 2, 9, 8)}
+
+
+def test_dup_spans_merges_overlapping_windows(spark):
+    from hunt_spark.operators.textops import dup_spans
+
+    # two docs share a 6-token run -> with k=4, windows at 3 positions
+    # overlap and must merge into ONE maximal span
+    rows = [(1, "x p q r s t u y"), (2, "m p q r s t u n")]
+    got = dup_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=4
+    ).collect()
+    spans = {(r["doc_id"], r["span_start"], r["span_end"]) for r in got}
+    assert spans == {(1, 2, 7), (2, 2, 7)}
+
+
+def test_dup_spans_within_doc_repeat_counts(spark):
+    from hunt_spark.operators.textops import dup_spans
+
+    # the SAME doc repeats a 5-gram twice: count >= 2 within one doc
+    rows = [(1, "a b c d e zz a b c d e")]
+    got = dup_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=5
+    ).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in got)
+    assert spans == [(1, 5), (7, 11)]
+
+
+def test_dup_spans_distinct_islands_not_bridged(spark):
+    from hunt_spark.operators.textops import dup_spans
+
+    # two shared runs separated by unique middles must stay two spans
+    rows = [
+        (1, "p q r s AA1 AA2 AA3 AA4 AA5 t u v w"),
+        (2, "p q r s BB1 BB2 BB3 BB4 BB5 t u v w"),
+    ]
+    got = dup_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=4
+    ).collect()
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in got
+    )
+    assert spans == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (2, 10, 13)]
