@@ -279,6 +279,25 @@ def _warc_shards(sf_dir: str) -> str:
     return d
 
 
+def _boiler_docs(docs: DataFrame) -> DataFrame:
+    """Documents with a 7-token boilerplate tail planted on every 3rd
+    doc — shared input derivation of the three duplicated-substring
+    gates (detection, stats, stripping); the oracles build the same
+    text in SQL."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" common tail line alpha beta gamma delta"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 def _web_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URL per document, exercising every
     canonicalization rule: upper-case scheme/host, `www.`, matching
@@ -734,19 +753,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact duplicated-substring spans (Lee et al. seed-grams):
         # planted 7-token boilerplate tail on every 3rd doc; k=5
         "dedup_substring": lambda spark, sf_dir: textops.dup_spans(
-            _docs(spark, sf_dir).select(
-                "doc_id",
-                F.when(
-                    F.col("doc_id") % 3 == 0,
-                    F.concat(
-                        F.col("text"),
-                        F.lit(" common tail line alpha beta gamma delta"),
-                    ),
-                )
-                .otherwise(F.col("text"))
-                .alias("text"),
-            ),
-            k=5,
+            _boiler_docs(_docs(spark, sf_dir)), k=5
+        ),
+        # removal-side of the Lee et al. flow: per-doc duplicated-token
+        # budget (the drop-filter form) ...
+        "dedup_span_stats": lambda spark, sf_dir: textops.dup_span_stats(
+            _boiler_docs(_docs(spark, sf_dir)), k=5
+        ),
+        # ... and surgical span stripping (order-preserving rebuild)
+        "dedup_strip_spans": lambda spark, sf_dir: textops.strip_spans(
+            _boiler_docs(_docs(spark, sf_dir)),
+            textops.dup_spans(_boiler_docs(_docs(spark, sf_dir)), k=5),
         ),
         # --- pairs -> clusters -> canonical keep/drop (the terminal
         # dedup step): connected components by alternating large/small
@@ -898,6 +915,38 @@ def _bm25(select_body: str) -> str:
         f"FROM ({select_body}) {_RANK}"
     )
 
+
+# shared CTE prefix of the three duplicated-substring oracles: the
+# boilerplate-planted corpus, its tokens, per-position 5-gram keys,
+# duplicated positions, and merged (gaps-and-islands) spans
+_DUP_SPAN_CTES = r"""
+    src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' common tail line alpha beta gamma delta'
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk FROM src),
+    g AS (SELECT doc_id,
+                 unnest(generate_series(1, len(tk) - 4)) AS pos,
+                 tk
+          FROM t WHERE len(tk) >= 5),
+    g2 AS (SELECT doc_id, pos,
+                  md5(array_to_string(tk[pos:pos+4], ' ')) AS g
+           FROM g),
+    c AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+    d AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM c)),
+    w AS (SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) + 5
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+    i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM w),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM i GROUP BY doc_id, island)
+"""
 
 _SHINGLE_PAIRS = r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk FROM documents),
@@ -1626,40 +1675,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, count(*) AS n_docs, "
             "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
         ),
-        "dedup_substring": r"""
-            WITH src AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 3 = 0
-                          THEN text ||
-                            ' common tail line alpha beta gamma delta'
-                          ELSE text END AS text
-              FROM documents),
-            t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS tk
-                  FROM src),
-            g AS (SELECT doc_id,
-                         unnest(generate_series(1, len(tk) - 4)) AS pos,
-                         tk
-                  FROM t WHERE len(tk) >= 5),
-            g2 AS (SELECT doc_id, pos,
-                          md5(array_to_string(tk[pos:pos+4], ' ')) AS g
-                   FROM g),
-            c AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
-            d AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM c)),
-            w AS (SELECT doc_id, pos,
-                         CASE WHEN pos > lag(pos) OVER
-                              (PARTITION BY doc_id ORDER BY pos) + 5
-                              THEN 1 ELSE 0 END AS brk
-                  FROM d),
-            i AS (SELECT doc_id, pos,
-                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
-                           AS island
-                  FROM w)
+        "dedup_substring": "WITH " + _DUP_SPAN_CTES + r"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(min(pos) AS BIGINT) AS span_start,
-                   CAST(max(pos) + 4 AS BIGINT) AS span_end,
-                   CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT)
-                     AS span_tokens
-            FROM i GROUP BY doc_id, island
+                   CAST(s AS BIGINT) AS span_start,
+                   CAST(e AS BIGINT) AS span_end,
+                   CAST(e - s + 1 AS BIGINT) AS span_tokens
+            FROM sp
+        """,
+        "dedup_span_stats": "WITH " + _DUP_SPAN_CTES + r""",
+            agg AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens
+                    FROM sp GROUP BY doc_id),
+            lens AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+            SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN round(coalesce(dup_tokens, 0) * 10000.0
+                                   / n_tokens)
+                        ELSE 0 END AS BIGINT) AS dup_frac_x1e4
+            FROM lens l LEFT JOIN agg USING (doc_id)
+        """,
+        "dedup_strip_spans": "WITH " + _DUP_SPAN_CTES + r""",
+            tok AS (SELECT doc_id,
+                           unnest(generate_series(1, len(tk))) AS pos,
+                           tk
+                    FROM t),
+            tok2 AS (SELECT doc_id, pos, tk[pos] AS tok FROM tok),
+            keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok2 k
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM sp
+                       WHERE sp.doc_id = k.doc_id
+                         AND k.pos BETWEEN sp.s AND sp.e))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_stripped
+            FROM keep GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": _SHINGLE_PAIRS,
         # LSH with bands=8/rows=1 at this jaccard separation finds the

@@ -277,6 +277,87 @@ def dup_spans(
     )
 
 
+def dup_span_stats(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-token budget from ``dup_spans``: total
+    tokens inside duplicated spans and their fraction of the doc
+    (x1e4 fixed-point — float division is not bit-stable across
+    engines). The standard removal policy at corpus scale is a doc
+    filter on this fraction (drop docs that are mostly boilerplate)
+    rather than surgical text edits; docs with no duplicated span
+    report 0. One extra doc_id-keyed aggregate over dup_spans' output
+    joined right back to the doc lengths — nothing corpus-sized is
+    re-shuffled."""
+    spans = dup_spans(docs, k=k, text_col=text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    lens = docs.select(
+        "doc_id", F.size(tokenize_col(text_col)).alias("n_tokens")
+    )
+    return lens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(
+                   F.coalesce(F.col("dup_tokens"), F.lit(0))
+                   * 10000 / F.col("n_tokens")
+               ).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("dup_frac_x1e4"),
+    )
+
+
+def strip_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rebuild each document's text WITHOUT the tokens inside the
+    given (doc_id, span_start, span_end) spans — the surgical variant
+    of the removal policy, order-preserving like line_dedup's
+    reassembly. Docs with no span pass through token-rejoined (the
+    operator's output is always whitespace-canonical token text).
+
+    Shape: posexplode to (doc_id, pos, token), left-anti range join
+    against the spans ON doc_id (equality key — the range predicate
+    only filters within the doc_id match, so this is a plain keyed
+    join, not an interval cross product), then sort-within-group
+    reassembly. Span lists per doc are tiny (bounded by doc length /
+    k), so the join's right side is collect_list-able per doc."""
+    toks = _spread(docs).select(
+        "doc_id",
+        F.posexplode(tokenize_col(text_col)).alias("off", "tok"),
+    ).select("doc_id", (F.col("off") + 1).alias("pos"), "tok")
+    span_sets = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    joined = toks.join(span_sets, "doc_id", "left")
+    inside = F.when(F.col("sp").isNull(), F.lit(False)).otherwise(
+        F.exists(
+            "sp",
+            lambda s: (F.col("pos") >= s["span_start"])
+            & (F.col("pos") <= s["span_end"]),
+        )
+    )
+    kept = joined.filter(~inside)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_stripped")
+        )
+        .select("doc_id", "text_stripped")
+    )
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on content hash; keeps min doc_id as
     the group representative."""

@@ -388,3 +388,57 @@ def test_dup_spans_distinct_islands_not_bridged(spark):
         (r["doc_id"], r["span_start"], r["span_end"]) for r in got
     )
     assert spans == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (2, 10, 13)]
+
+
+def test_dup_span_stats_fraction_and_zero(spark):
+    from hunt_spark.operators.textops import dup_span_stats
+
+    boiler = "q w e r t"
+    rows = [
+        (1, f"a1 b1 {boiler} c1 d1 e1"),   # 5 of 10 tokens duplicated
+        (2, f"x1 {boiler} y1"),             # 5 of 7
+        (3, "u1 u2 u3 u4 u5 u6"),           # none
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac_x1e4"])
+        for r in dup_span_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5
+        ).collect()
+    }
+    assert got[1] == (10, 5, 5000)
+    assert got[2] == (7, 5, 7143)
+    assert got[3] == (6, 0, 0)
+
+
+def test_strip_spans_removes_exact_tokens(spark):
+    from hunt_spark.operators.textops import dup_spans, strip_spans
+
+    boiler = "q w e r t"
+    rows = [
+        (1, f"a1 b1 {boiler} c1 d1"),
+        (2, f"x1 {boiler} y1"),
+        (3, "u1 u2 u3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dup_spans(docs, k=5)
+    got = {
+        r["doc_id"]: r["text_stripped"]
+        for r in strip_spans(docs, spans).collect()
+    }
+    assert got[1] == "a1 b1 c1 d1"
+    assert got[2] == "x1 y1"
+    assert got[3] == "u1 u2 u3"  # span-free doc passes through
+
+
+def test_strip_spans_explicit_span_frame(spark):
+    from hunt_spark.operators.textops import strip_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 5, 5)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = strip_spans(docs, spans).collect()[0]["text_stripped"]
+    assert got == "t1 t4 t6"
