@@ -162,11 +162,17 @@ def web_curate(
     url_col: str = "url",
     key_col: str = "doc_id",
     quality_col: str | None = None,
+    clean: bool = False,
+    max_dup_frac_x1e4: int | None = None,
+    dup_k: int = 50,
     **curate_kwargs,
 ) -> DataFrame:
     """The whole web-corpus curation front-end as ONE composed plan:
-    URL filter (blocklist + banned patterns) → URL-level keep-best
-    dedup → optional per-domain cap → the text curation chain
+    optional ``clean_text`` normalization → URL filter (blocklist +
+    banned patterns) → URL-level keep-best dedup → optional per-domain
+    cap → optional duplicated-substring budget filter
+    (``dup_span_stats``: drop docs whose corpus-duplicated-token
+    fraction exceeds ``max_dup_frac_x1e4``) → the text curation chain
     (``textops.curate``: quality floor → repetition ceiling → langid
     drop → exact-dedup canonical keep → stratified sample). Returns
     curate()'s release frame (doc_id, strata, n_tokens).
@@ -177,7 +183,14 @@ def web_curate(
     text stages then run only on URL-surviving rows. This is the
     composition tests/test_web_pipeline.py drives end-to-end from a
     WARC crawl through to a BM25 query."""
+    from hunt_spark.operators.textops import clean_text, dup_span_stats
+
     kept = docs
+    if clean:
+        if key_col != "doc_id":
+            raise ValueError("clean=True requires key_col='doc_id'")
+        cleaned = clean_text(kept).withColumnRenamed("text_clean", "text")
+        kept = kept.drop("text").join(cleaned, "doc_id")
     if blocked_hosts or banned_patterns:
         ok = url_filter(
             kept, blocked_hosts, banned_patterns, max_url_score,
@@ -199,8 +212,24 @@ def web_curate(
         )
     from hunt_spark.operators.textops import curate
 
-    if key_col != "doc_id":  # curate() keys on doc_id
+    if key_col != "doc_id":  # curate()/dup_span_stats key on doc_id
         kept = kept.withColumnRenamed(key_col, "doc_id")
+    if max_dup_frac_x1e4 is not None:
+        # budget runs on exact-dedup CANONICALS: mutual exact
+        # duplicates are 100% substring-duplicated by construction and
+        # would all die here, when the policy is collapse-then-budget;
+        # non-canonical copies drop out with their canonical's verdict
+        # (curate's own exact-dedup stage would drop them anyway)
+        from hunt_spark.operators.textops import dedup_exact
+
+        canon = dedup_exact(kept).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        canon_docs = kept.join(canon, "doc_id", "left_semi")
+        ok_budget = dup_span_stats(canon_docs, k=dup_k).filter(
+            F.col("dup_frac_x1e4") <= max_dup_frac_x1e4
+        )
+        kept = kept.join(ok_budget.select("doc_id"), "doc_id", "left_semi")
     return curate(kept, **curate_kwargs)
 
 

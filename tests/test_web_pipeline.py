@@ -145,3 +145,43 @@ def test_warc_to_query_full_pipeline(spark, tmp_path):
         min_tokens=10,
     )
     assert {r["doc_id"] for r in composed.collect()} == kept_ids
+
+
+def test_web_curate_optional_clean_and_dup_budget(spark):
+    """clean=True normalizes before hashing (the two unicode spellings
+    of one page become exact duplicates and collapse), and
+    max_dup_frac_x1e4 drops boilerplate-dominated docs — judged on the
+    exact-dedup canonicals so mutual copies don't self-condemn."""
+    boiler = " ".join(f"bp{k}" for k in range(12))
+    body = " ".join(f"w{k}" for k in range(20))  # no intra-doc repeats
+    rows = [
+        # same content, decomposed vs composed e-acute + extra spaces:
+        # only clean_text makes these exact-dedup into one
+        (1, "http://a.com/1", f"cafe\u0301 one {body}"),
+        (2, "http://a.com/2", f"caf\u00e9  one {body}"),
+        # boilerplate-dominated docs: 12 of 14 tokens duplicated
+        # cross-doc (NOT exact dups of each other)
+        (3, "http://a.com/3", f"u1 u2 {boiler}"),
+        (4, "http://a.com/4", f"v1 v2 {boiler}"),
+        # a normal doc
+        (5, "http://a.com/5", " ".join(f"n{k}" for k in range(25))),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+    out = urlops.web_curate(
+        docs,
+        quality_col="n_chars",
+        clean=True,
+        max_dup_frac_x1e4=5000,
+        dup_k=6,
+        min_tokens=3,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # docs 1+2 collapse to ONE canonical (exact dedup after clean; the
+    # budget judges the deduped corpus, so the mutual copy does not
+    # count against its canonical); 3,4 dropped by the budget
+    # (12/14 duplicated > 50%); 5 kept
+    assert 5 in kept
+    assert len(kept & {1, 2}) == 1
+    assert not kept & {3, 4}
