@@ -68,16 +68,28 @@ def cosine_topk(
     Ranked deterministically by (rounded score desc, neighbor id asc).
     Returns (probe_id, neighbor_id, cosine_x1e4, rank).
     """
+    # norms are per-ROW values: evaluate them once on each side before
+    # the cross join (the with_cosine form recomputed |a| and |b| per
+    # PAIR — n_probes x corpus norm folds instead of one per vector;
+    # guide §1.2 per-task work). Same expression over the same vector
+    # => bit-identical doubles, so cosine and its rounding are
+    # unchanged.
     probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("emb_a")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("emb_a"),
+        _norm(F.col(vec_col)).alias("norm_a"),
     )
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_b")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("emb_b"),
+        _norm(F.col(vec_col)).alias("norm_b"),
     )
     pairs = F.broadcast(probes).crossJoin(corpus).filter(
         F.col("probe_id") != F.col("neighbor_id")
     )
-    scored = with_cosine(pairs).withColumn(
+    den = F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))
+    cos = F.coalesce(_dot(F.col("emb_a"), F.col("emb_b")) / den, F.lit(0.0))
+    scored = pairs.withColumn("cosine", cos).withColumn(
         "cosine_x1e4", F.round(F.col("cosine") * 10000).cast("long")
     )
     from pyspark.sql.window import Window

@@ -228,9 +228,14 @@ def dup_spans(
 
     Shape at scale: one posexplode to (doc_id, pos, gram-key) — corpus
     tokens × 1 rows, map-side; the global duplicate test is a single
-    count shuffle on the 128-bit gram key (md5 — engine-neutral so the
-    oracle can mirror it; the full gram string would shuffle k× more
-    bytes); span merging is a per-document lag/sum window — per-doc
+    count shuffle on a 64-bit gram key (xxhash64 over the token
+    window — no per-position string build or 128-bit digest: the r5
+    md5(concat_ws(slice)) form allocated a ~k-token string AND ran a
+    cryptographic hash per corpus position, and shuffled 32-char hex
+    keys where 8-byte longs suffice. A cross-gram collision would need
+    ~2^32 distinct grams in one count bucket; the duplicate-position
+    set is gate-pinned against the oracle's independent md5-based
+    computation); span merging is a per-document lag/sum window — per-doc
     data is doc-length-bounded, so no hot key beyond a pathological
     single document. No suffix array: the seed-gram relaxation finds
     exactly the spans whose every k-window repeats, which is the
@@ -247,7 +252,7 @@ def dup_spans(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, k))),
+                    lambda i: F.xxhash64(F.slice("tk", i, k)),
                 )
             ).alias("off", "g"),
         )
@@ -408,21 +413,55 @@ def _shingle_arrays(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     return sh
 
 
+def _hashed_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, n_sh, hs array<long>) — the tokenize+shingle pass with
+    each distinct k-token shingle mapped to its xxhash64, the 64-bit
+    set proxy every downstream step runs on: the global shingle order,
+    the prefix candidate join, MinHash folds and the exact
+    intersection/union verification all compare fixed-width longs
+    instead of ~k-token strings (guide §2.3 "narrower types": ~5x
+    fewer shuffled bytes, O(1) comparisons, and array_intersect builds
+    long hash sets instead of string ones — the r5 verify stage spent
+    98 of the op's 119 s on string-array intersections at 50k docs).
+    Set sizes and intersections on the hashed sets equal the
+    string-set values unless two distinct shingles collide in 64 bits
+    (~n^2/2^65 per document/pair — vanishing at any real document
+    size; output parity is pinned by the driver gates, whose oracle
+    computes the same pairs from the raw strings exhaustively).
+
+    Persisted + materialized exactly like _shingle_arrays, with the
+    same caller-owned cache lifetime contract (see that docstring)."""
+    hs = F.array_distinct(
+        F.transform(
+            shingles_col(tokenize_col(text_col), k), lambda s: F.xxhash64(s)
+        )
+    )
+    out = (
+        _spread(docs)
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .withColumn("n_sh", F.size("hs"))
+        .persist()
+    )
+    out.count()
+    return out
+
+
 def _verify_jaccard_pairs(
-    cand: DataFrame, sh_arrays: DataFrame, threshold: float
+    cand: DataFrame, hs_arrays: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard verification on candidate (doc_id_a, doc_id_b)
-    pairs only — array_intersect/union over the two shingle sets, read
-    from the shared cached shingle frame."""
-    va = sh_arrays.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+    pairs only — array_intersect over the two hashed shingle sets read
+    from the shared cached frame; |A∪B| = |A|+|B|-|A∩B| (the arrays
+    are distinct sets), saving the second per-pair hash-set build."""
+    va = hs_arrays.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a")
     )
-    vb = sh_arrays.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+    vb = hs_arrays.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b")
     )
-    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    j = inter / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
         cand.join(va, "doc_id_a")
         .join(vb, "doc_id_b")
@@ -442,42 +481,72 @@ def ngram_jaccard_pairs(
     one stopword trigram in d docs alone yields d^2 join rows (the
     quadratic blowup that kills this at scale; measured 42s of a 93s
     bench at a mere 5k docs). Prefix filter instead: order shingles
-    globally by (df, shingle) ascending (rarest first); for a doc with
-    n shingles only its first `n - ceil(t*n) + 1` shingles can open a
-    qualifying pair — for any pair with J >= t, the globally smallest
-    common shingle provably sits inside BOTH prefixes (its rank in A
-    is at most na - |A∩B| + 1 <= na - ceil(t*na) + 1). Joining prefix
-    rows only, then verifying candidates exactly, keeps the output
-    identical to the exhaustive join while hot shingles (high df, so
-    sorted last) never enter candidate generation.
+    globally by (df, shingle-hash) ascending (rarest first); for a doc
+    with n shingles only its first `n - ceil(t*n) + 1` shingles can
+    open a qualifying pair — for any pair with J >= t, the globally
+    smallest common shingle provably sits inside BOTH prefixes (its
+    rank in A is at most na - |A∩B| + 1 <= na - ceil(t*na) + 1; the
+    proof holds for ANY total order, so ordering ties by the 64-bit
+    hash instead of the string keeps correctness with cheap
+    comparisons). Joining prefix rows only, then verifying candidates
+    exactly, keeps the output identical to the exhaustive join while
+    hot shingles (high df, so sorted last) never enter candidate
+    generation.
+
+    On top of the prefix join the candidate condition carries the
+    PPJoin length and positional filters (Xiao et al., WWW'08) —
+    both provably output-preserving, applied with an epsilon toward
+    KEEPING a candidate:
+      * length: J(A,B) >= t forces t*na <= nb <= na/t — pairs outside
+        the band cannot verify, so dropping them pre-verify changes
+        nothing;
+      * positional: a pair's overlap needs I >= ceil(t*(na+nb)/(1+t));
+        for the row matching the pair's globally smallest common
+        shingle (rank ra in A, rb in B) the overlap is at most
+        1 + min(na-ra, nb-rb), so rows failing that bound can be
+        dropped — the qualifying pair always survives through its
+        smallest-common-shingle row, where the bound >= I holds.
+    Measured at 50k synthetic docs (tiny vocabulary, the adversarial
+    case for prefix filtering): 19.0M -> far fewer candidate rows
+    before the same exact verification.
     """
     from pyspark.sql.window import Window
 
-    sh_arrays = _shingle_arrays(docs, text_col, k)
-    sh = sh_arrays.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
-    )
-    sdf = sh.groupBy("s").agg(F.count("*").alias("s_df"))
-    w = Window.partitionBy("doc_id").orderBy("s_df", "s")
+    hs_arrays = _hashed_shingles(docs, text_col, k)
+    sh = hs_arrays.select("doc_id", "n_sh", F.explode("hs").alias("h"))
+    sdf = sh.groupBy("h").agg(F.count("*").alias("s_df"))
+    w = Window.partitionBy("doc_id").orderBy("s_df", "h")
     # epsilon guards the float ceil toward a LONGER prefix (never drops
     # a true candidate)
     pref_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - 1e-9) + 1
     prefix = (
-        sh.join(sdf, "s")
+        sh.join(sdf, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= pref_len)
-        .select("doc_id", "s")
+        .select("doc_id", "h", "n_sh", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    # required overlap, rounded DOWN by epsilon (never over-requires)
+    alpha = F.ceil((na + nb) * t / (F.lit(1.0) + t) - 1e-9)
+    ubound = F.lit(1) + F.least(na - F.col("a.rn"), nb - F.col("b.rn"))
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (nb >= na * t - 1e-9)
+            & (na >= nb * t - 1e-9)
+            & (ubound >= alpha),
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
         .distinct()
     )
-    return _verify_jaccard_pairs(cand, sh_arrays, threshold)
+    return _verify_jaccard_pairs(cand, hs_arrays, threshold)
 
 
 def minhash_signatures(
@@ -517,6 +586,30 @@ def minhash_signatures(
     return sh.select("doc_id", sig.alias("sig"))
 
 
+def _minhash_sigs_hashed(hs_arrays: DataFrame, n_hashes: int) -> DataFrame:
+    """MinHash signatures over HASHED shingles: per seed i, min over
+    hs of xxhash64(i, h) — the same single-aggregate-pass banded-LSH
+    structure as minhash_signatures with all per-element work on longs
+    (the one string hash per shingle was paid in _hashed_shingles, so
+    the n_hashes-per-element re-hash is O(1) instead of O(shingle
+    bytes) — guide §2.3/§1.2 per-task work). The hash family differs
+    from the string path only in which uniform 64-bit values it draws;
+    candidate recall keeps the banded 1-(1-j^rows)^bands form and the
+    final pair set is fixed by exact verification (driver-gate-pinned
+    to the exhaustive oracle)."""
+    init = F.array(*[F.lit(2**63 - 1).cast("long")] * n_hashes)
+    sig = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)]),
+            lambda a, x: F.least(a, x),
+        ),
+    )
+    return hs_arrays.select("doc_id", "n_sh", sig.alias("sig"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -543,24 +636,34 @@ def minhash_lsh_pairs(
             f"bands ({bands})"
         )
     rows = n_hashes // bands
-    sh_arrays = _shingle_arrays(docs, text_col, k)
-    sigs = minhash_signatures(docs, n_hashes, k, text_col, sh_arrays=sh_arrays)
+    hs_arrays = _hashed_shingles(docs, text_col, k)
+    sigs = _minhash_sigs_hashed(hs_arrays, n_hashes)
+    # band key from the band's signature slice — long-only xxhash64
+    # (the former string concat_ws form allocated a string per band
+    # per doc just to feed a hash)
     band_cols = [
         F.xxhash64(
-            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]),
-            F.lit(b),
+            *[F.col("sig")[b * rows + r] for r in range(rows)], F.lit(b)
         ).alias("band_hash")
         for b in range(bands)
     ]
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+        "doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("band_hash")
     ).distinct()
     a, b = buckets.alias("a"), buckets.alias("b")
+    t = F.lit(threshold)
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     cand = (
         a.join(
             b,
             (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*na <= nb <= na/t; pairs
+            # outside the band are rejected by exact verification
+            # anyway, so dropping them pre-verify is output-preserving
+            # (epsilon keeps the boundary pair)
+            & (nb >= na * t - 1e-9)
+            & (na >= nb * t - 1e-9),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
@@ -568,7 +671,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on candidates only
-    return _verify_jaccard_pairs(cand, sh_arrays, threshold)
+    return _verify_jaccard_pairs(cand, hs_arrays, threshold)
 
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"

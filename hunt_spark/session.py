@@ -41,7 +41,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("HUNT_SPARK_DRIVER_MEM", "8g"))
+        # local-mode driver == the one executor: all task threads share
+        # this heap. 8g starved 32 concurrent tasks at the bench's
+        # 50k-doc scale (driver-observed "Java heap space" in r5's
+        # sf1.0 rebench); a real 32-core executor node ships with far
+        # more. Env-overridable for smaller hosts.
+        .config("spark.driver.memory", os.environ.get("HUNT_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
