@@ -85,7 +85,7 @@ def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly the emptiest documents). Pinned by the txt_quality gate,
     whose oracle filters len(tk) > 0 identically."""
     t = tokenize_col(text_col)
-    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    d = _spread(docs).select("doc_id", t.alias("t")).filter(F.size("t") > 0)
     n = F.size("t").cast("double")
     stop = F.size(
         F.filter("t", lambda x: x.isin(*STOPWORDS_EN))
@@ -166,14 +166,23 @@ def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic and SQL-expressible; a real model would slot in as a
     pandas UDF with the same signature."""
     t = tokenize_col(F.lower(F.col(text_col)))
-    en = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
-    de = F.size(F.filter(t, lambda x: x.isin(*_DE_STOP)))
+    # two-step projection: the CASE expression references each count up
+    # to twice, and the counts reference the tokenized array twice —
+    # inlining it all in one select makes Catalyst evaluate the
+    # tokenizer once PER REFERENCE (multi-reference aliases stay
+    # materialized, so each extra projection level pins one evaluation)
+    toks = _spread(docs).select("doc_id", t.alias("t"))
+    counts = toks.select(
+        "doc_id",
+        F.size(F.filter("t", lambda x: x.isin(*STOPWORDS_EN))).alias("en"),
+        F.size(F.filter("t", lambda x: x.isin(*_DE_STOP))).alias("de"),
+    )
     pred = (
-        F.when((en > de) & (en > 0), F.lit("en"))
-        .when((de > en) & (de > 0), F.lit("de"))
+        F.when((F.col("en") > F.col("de")) & (F.col("en") > 0), F.lit("en"))
+        .when((F.col("de") > F.col("en")) & (F.col("de") > 0), F.lit("de"))
         .otherwise(F.lit("unk"))
     )
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return counts.select("doc_id", pred.alias("pred_lang"))
 
 
 _CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # C0 minus \t\n\r, +DEL
@@ -245,15 +254,22 @@ def dup_spans(
         "doc_id", tokenize_col(text_col).alias("tk")
     )
     n = F.size("tk")
+    # guard short docs in the expression (empty gram array -> posexplode
+    # emits nothing) instead of a .filter(n >= k): Catalyst pushes such
+    # a filter below the _spread exchange, where its copy of the
+    # tokenizer runs one more full pass on the input's raw partitioning
+    # — a single core for a single-file corpus (guide §2.4/§7.2)
     grams = (
-        t.filter(n >= k)
-        .select(
+        t.select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.xxhash64(F.slice("tk", i, k)),
-                )
+                F.when(
+                    n >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), n - (k - 1)),
+                        lambda i: F.xxhash64(F.slice("tk", i, k)),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
             ).alias("off", "g"),
         )
         .select("doc_id", (F.col("off") + 1).alias("pos"), "g")
@@ -367,7 +383,8 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on content hash; keeps min doc_id as
     the group representative."""
     return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        _spread(docs)
+        .select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
         .groupBy("text_md5")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
     )
@@ -739,27 +756,42 @@ def _fnv1a64_batch(terms: np.ndarray) -> np.ndarray:
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-term FNV-1a(code points) bit votes weighted
-    by tf. The kernel is fully vectorized numpy over the whole Arrow
-    batch — terms are hashed once per batch-distinct term, bit votes
-    accumulate with one scatter-add — no per-term Python loop."""
-    toks = _spread(docs).select("doc_id", tokenize_col(text_col).alias("t")).filter(
-        F.size("t") > 0
-    )
+    by tf. The kernel is Arrow-native: token bytes stay in Arrow
+    buffers, term deduplication is a C++ dictionary_encode (the former
+    pandas kernel spent its time materializing Python string objects
+    and np.unique-sorting them), FNV runs once per batch-distinct term,
+    and bit votes accumulate with one scatter-add — no per-term Python
+    loop. Zero-token docs are skipped in-kernel (same rows as the old
+    upstream filter, whose pushed-down tokenizer copy ran below the
+    _spread exchange on one core for a single-file corpus)."""
+    toks = _spread(docs).select("doc_id", tokenize_col(text_col).alias("t"))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)  # see build._invert_arrow: no 32x32 threads
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("simhash", pa.int64())]
+        )
         mask = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for bdf in batches:
-            n_docs = len(bdf)
-            if n_docs == 0:
-                yield pd.DataFrame({"doc_id": [], "simhash": []})
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            tok_lists = [np.asarray(t, dtype=object) for t in bdf["t"]]
-            all_toks = np.concatenate(tok_lists)
-            doc_idx = np.repeat(
-                np.arange(n_docs), [len(t) for t in tok_lists]
-            )
-            uniq, inv = np.unique(all_toks, return_inverse=True)
+            tcol = b.column(b.schema.get_field_index("t"))
+            lens = pc.list_value_length(tcol).to_numpy().astype(np.int64)
+            keep = np.flatnonzero(lens > 0)
+            if len(keep) == 0:
+                continue
+            flat = pc.list_flatten(tcol)
+            enc = pc.dictionary_encode(flat)
+            inv = enc.indices.to_numpy()
+            uniq = enc.dictionary.to_pylist()
             hashes = _fnv1a64_batch(uniq)
+            # doc index over kept docs only (empty lists contribute no
+            # flattened entries, so the repeat aligns with `flat`)
+            doc_idx = np.repeat(np.arange(len(keep)), lens[keep])
             # per (doc, term) tf via one unique over the combined key
             key = doc_idx.astype(np.int64) * len(uniq) + inv
             pair_key, tf = np.unique(key, return_counts=True)
@@ -769,19 +801,21 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 np.int64
             )
             contrib = (bits * 2 - 1) * tf[:, None].astype(np.int64)
-            votes = np.zeros((n_docs, 64), dtype=np.int64)
+            votes = np.zeros((len(keep), 64), dtype=np.int64)
             np.add.at(votes, pair_doc, contrib)
             sh = ((votes > 0).astype(np.uint64) * mask[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-            yield pd.DataFrame(
-                {
-                    "doc_id": bdf["doc_id"],
-                    "simhash": sh.astype(np.int64),
-                }
+            doc_ids = b.column(b.schema.get_field_index("doc_id")).to_numpy()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[keep], type=pa.int64()),
+                    pa.array(sh.astype(np.int64), type=pa.int64()),
+                ],
+                schema=out_schema,
             )
 
-    return toks.mapInPandas(kernel, schema=SIMHASH_SCHEMA)
+    return toks.mapInArrow(kernel, schema=SIMHASH_SCHEMA)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
@@ -1011,10 +1045,14 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> Dat
     applies. Fractions are multiply-before-divide doubles rounded to
     x1e4 ints for stable cross-engine hashing."""
     t = tokenize_col(text_col)
+    # no .filter(size >= n): _token_ngrams already yields an empty array
+    # for short docs (explode then emits nothing — same rows), and the
+    # filter's pushed-down copy of the tokenizer would run below the
+    # _spread exchange on the input's raw partitioning (one core for a
+    # single-file corpus)
     grams = (
         _spread(docs)
         .select("doc_id", t.alias("t"))
-        .filter(F.size("t") >= n)
         .select("doc_id", F.explode(_token_ngrams(F.col("t"), n)).alias("gram"))
     )
     counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
@@ -1058,9 +1096,12 @@ def contamination(
     t = tokenize_col(text_col)
 
     def grams_of(df: DataFrame) -> DataFrame:
+        # no size filter: _token_ngrams guards short docs with an empty
+        # array (explode drops them), and the filter's pushed-down
+        # tokenizer copy would run below the _spread exchange on one
+        # core (see repetition_stats)
         return (
             df.select("doc_id", t.alias("t"))
-            .filter(F.size("t") >= n)
             .select(
                 "doc_id",
                 F.explode(

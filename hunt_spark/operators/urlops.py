@@ -263,14 +263,35 @@ def domain_cap(
     )
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict[str, pd.DataFrame] = {}
+        # accumulate batches and compact with ONE vectorized
+        # sort + groupby-head pass whenever the buffer exceeds the
+        # compaction threshold (and once at the end) — the former
+        # per-batch per-host python loop paid a pandas sort per (host,
+        # batch). The buffer is bounded by construction: after each
+        # compaction it holds <= cap rows per distinct host seen, and
+        # between compactions at most `limit` + one batch of rows.
+        limit = max(64 * 1024, 8 * cap)
+        acc: list[pd.DataFrame] = []
+        held = 0
+
+        def compact() -> pd.DataFrame:
+            merged = pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
+            return (
+                merged.sort_values(["h", "doc_id"], kind="stable")
+                .groupby("host", sort=False)
+                .head(cap)
+            )
+
         for pdf in batches:
-            for host, g in pdf.groupby("host"):
-                cur = best.get(host)
-                merged = g if cur is None else pd.concat((cur, g))
-                best[host] = merged.sort_values(["h", "doc_id"]).head(cap)
-        if best:
-            yield pd.concat(best.values())
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            held += len(pdf)
+            if held > limit:
+                kept = compact()
+                acc, held = [kept], len(kept)
+        if acc:
+            yield compact()
 
     pruned = base.mapInPandas(prune, schema="doc_id long, host string, h long")
     w = Window.partitionBy("host").orderBy("h", "doc_id")
