@@ -980,14 +980,23 @@ def build_index(
     postings = postings_from_contexts(docs, context_cols, cfg)
     # writer-task spread: the salt must give the shuffle MORE distinct
     # keys than reduce partitions, or hash collisions starve tasks (the
-    # r3 blocks-stage lesson). salt_buckets alone gives n_contexts x
-    # n_shards x salt_buckets keys — widen with the cluster so ~32 keys
-    # land per reduce partition regardless of core count. doc-hash
-    # salting keeps any one (context, shard) spread over many writers
-    # (hot-term skew) while partitionBy still lays files out by
-    # (context, shard).
+    # r3 blocks-stage lesson) — but every distinct (context, shard,
+    # salt) key a task holds becomes one parquet FILE under its
+    # partitionBy dir, so an over-wide salt trades write/commit time
+    # and read-back file count for nothing (guide §6 small files; the
+    # r5 2x-parallelism salt wrote 949 files for a 1.2M-row postings
+    # table and its commit cost 5.3 s vs 3.0 s at salt 8). Target ~8
+    # distinct keys per reduce partition: enough headroom over the
+    # balls-in-bins starvation threshold, bounded file count. doc-hash
+    # salting keeps any one (context, shard) spread over several
+    # writers (hot-term skew) while partitionBy still lays files out
+    # by (context, shard).
     sc = spark.sparkContext
-    salt_w = max(cfg.salt_buckets, 2 * sc.defaultParallelism)
+    n_cx = max(1, len(context_cols))
+    salt_w = max(
+        cfg.salt_buckets,
+        -(-8 * sc.defaultParallelism // (n_cx * cfg.n_shards)),  # ceil div
+    )
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_w))
     laid_out = postings.repartition(F.col("context"), F.col("shard"), salt)
 
