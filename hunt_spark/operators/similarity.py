@@ -68,28 +68,91 @@ def cosine_topk(
     Ranked deterministically by (rounded score desc, neighbor id asc).
     Returns (probe_id, neighbor_id, cosine_x1e4, rank).
     """
-    # norms are per-ROW values: evaluate them once on each side before
-    # the cross join (the with_cosine form recomputed |a| and |b| per
-    # PAIR — n_probes x corpus norm folds instead of one per vector;
-    # guide §1.2 per-task work). Same expression over the same vector
-    # => bit-identical doubles, so cosine and its rounding are
-    # unchanged.
-    probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("emb_a"),
-        _norm(F.col(vec_col)).alias("norm_a"),
+    # Score in an Arrow-batched kernel against the broadcast probe
+    # matrix (guide §4.2): the expression form paid an interpreted
+    # higher-order fold per pair per dimension. The kernel preserves
+    # the EXACT IEEE result by folding sequentially over dimensions
+    # (one numpy op per dimension, vectorized over rows) — the same
+    # ((0+x1)+x2)+... association the Catalyst aggregate uses for dot
+    # products and norms — so cosine, rounding and ranking are
+    # bit-identical. Probes are a bounded driver-side collect (the
+    # probe_ids list), exactly what the broadcast join shipped before.
+    probe_rows = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).cast("long"), vec_col)
+        .collect()
     )
+    spark = embeddings.sparkSession
+
+    def _seq_dot(m: np.ndarray, v: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for d in range(m.shape[1]):
+            acc = acc + m[:, d] * v[d]
+        return acc
+
+    def _seq_norm(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for d in range(m.shape[1]):
+            acc = acc + m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    p_ids = [int(r[0]) for r in probe_rows]
+    p_vecs = [
+        None if r[1] is None else np.asarray(r[1], dtype=np.float64)
+        for r in probe_rows
+    ]
+    bc = spark.sparkContext.broadcast((p_ids, p_vecs))
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("emb_b"),
-        _norm(F.col(vec_col)).alias("norm_b"),
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb_b")
     )
-    pairs = F.broadcast(probes).crossJoin(corpus).filter(
-        F.col("probe_id") != F.col("neighbor_id")
-    )
-    den = F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0))
-    cos = F.coalesce(_dot(F.col("emb_a"), F.col("emb_b")) / den, F.lit(0.0))
-    scored = pairs.withColumn("cosine", cos).withColumn(
+
+    def score(batches):
+        import pandas as pd
+
+        ids, vecs = bc.value
+        p_norm = {
+            i: (float(_seq_norm(v[None, :])[0]) if v is not None else None)
+            for i, v in zip(ids, vecs)
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            raw = pdf["emb_b"].to_numpy()
+            ok = np.array([v is not None for v in raw])
+            m = (
+                np.stack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
+                if ok.any()
+                else np.empty((0, 0))
+            )
+            nb = np.zeros(len(pdf), dtype=np.float64)
+            if ok.any():
+                nb[ok] = _seq_norm(m)
+            out_pid, out_nid, out_cos = [], [], []
+            for pid, pv in zip(ids, vecs):
+                sel = nid != pid
+                cos = np.zeros(len(pdf), dtype=np.float64)
+                na = p_norm[pid]
+                if pv is not None and na is not None and ok.any():
+                    den = na * nb[ok]
+                    dot = _seq_dot(m, pv)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        c = np.where(den != 0.0, dot / den, 0.0)
+                    cos[ok] = c
+                out_pid.append(np.full(sel.sum(), pid, dtype=np.int64))
+                out_nid.append(nid[sel])
+                out_cos.append(cos[sel])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_pid),
+                    "neighbor_id": np.concatenate(out_nid),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        score, schema="probe_id long, neighbor_id long, cosine double"
+    ).withColumn(
         "cosine_x1e4", F.round(F.col("cosine") * 10000).cast("long")
     )
     from pyspark.sql.window import Window
