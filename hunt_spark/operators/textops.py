@@ -85,7 +85,14 @@ def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly the emptiest documents). Pinned by the txt_quality gate,
     whose oracle filters len(tk) > 0 identically."""
     t = tokenize_col(text_col)
-    d = _spread(docs).select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    # row-set-equivalent cheap predicate: a doc has >= 1 token iff its
+    # text has >= 1 word char. Catalyst pushes this filter below the
+    # _spread exchange (single scan partition for a one-file corpus) —
+    # with size(tokenize(..)) > 0 that pushed-down copy re-ran the full
+    # tokenizer there; rlike stops at the first match.
+    d = _spread(docs.filter(F.col(text_col).rlike(r"(?U)\w"))).select(
+        "doc_id", t.alias("t")
+    )
     n = F.size("t").cast("double")
     stop = F.size(
         F.filter("t", lambda x: x.isin(*STOPWORDS_EN))

@@ -60,10 +60,14 @@ _CRLF = b"\r\n"
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress concatenated gzip members one at a time (the WARC
     convention: record == member). Keeps a single member in memory."""
+    # memoryview: a bytes slice would COPY the whole remaining shard
+    # per member — O(members x shard_bytes) memcpy on a ~1 GB CC shard
+    # with tens of thousands of records; mv[pos:] is zero-copy
+    mv = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:])
+        out = d.decompress(mv[pos:])
         if not d.eof:  # truncated trailing member
             raise ValueError("truncated gzip member in WARC file")
         yield out

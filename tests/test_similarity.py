@@ -211,3 +211,25 @@ def test_near_dup_null_first_vector_does_not_degenerate(spark, emb):
             ).collect()
         )
         assert got == base
+
+
+def test_cosine_topk_null_and_zero_vectors(spark):
+    """Kernel scoring must keep with_cosine's degenerate-vector
+    semantics: a null or zero-norm corpus vector scores cosine 0
+    (ranked last), never NaN/error (r6 optimization: scoring moved
+    into a sequential-fold-preserving Arrow kernel)."""
+    from hunt_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, None),
+        (3, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine_x1e4"]
+        for r in cosine_topk(emb, [0], k=5).collect()
+    }
+    assert got[(0, 2)] == 0 and got[(0, 3)] == 0
+    assert got[(0, 1)] > 9000

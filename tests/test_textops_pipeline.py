@@ -442,3 +442,18 @@ def test_strip_spans_explicit_span_frame(spark):
     )
     got = strip_spans(docs, spans).collect()[0]["text_stripped"]
     assert got == "t1 t4 t6"
+
+
+def test_quality_stats_unicode_only_and_empty_docs(spark):
+    """The cheap rlike('(?U)\\w') row filter must keep exactly the docs
+    the (?U)\\w+ tokenizer finds tokens in: a doc of only non-ASCII
+    word chars emits a row; punctuation-only and empty docs emit none
+    (r6 optimization: the filter replaced size(tokenize(..)) > 0)."""
+    from hunt_spark.operators.textops import quality_stats
+
+    docs = spark.createDataFrame(
+        [(1, "日本語 テスト"), (2, "...!!!"), (3, ""), (4, "plain words")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in quality_stats(docs).collect()}
+    assert rows == {1: 2, 4: 2}
