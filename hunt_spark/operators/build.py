@@ -662,9 +662,15 @@ def build_blocks(
     pack_bucket = F.pmod(F.xxhash64("term_lc"), F.lit(sub_buckets))
 
     # slim shuffle: ship only what the pack kernel needs — the
-    # original-case term collapses to a mostly-null variant, df and
-    # n_blocks are re-joined onto the (tiny) packed output instead of
-    # riding on 43M rows
+    # original-case term collapses to a mostly-null variant. df DOES
+    # ride the pack shuffle (8 B/row): the r5 form re-joined it onto
+    # the packed output from a second term_stats aggregation, which
+    # re-reads and re-aggregates the whole postings table inside the
+    # blocks job — one full corpus scan traded for 8 bytes/row of
+    # shuffle (guide §1.2: fewer passes; measured two extra
+    # postings-scan+agg subtrees in the r5 blocks plan). n_blocks stays
+    # derived (a pure function of df) and is recomputed on the packed
+    # block-granular rows.
     pre = (
         postings.join(tstats.select("context", "term_lc", "df"),
                       ["context", "term_lc"])
@@ -675,6 +681,7 @@ def build_blocks(
             F.when(F.col("term") != F.col("term_lc"), F.col("term")).alias("variant"),
             F.col("tf").cast("int").alias("tf"),
             F.col("dl").cast("int").alias("dl"),
+            F.col("df").cast("long").alias("df"),
         )
         .repartition(n_pack_parts, "context", "shard", pack_bucket)
         # `variant` is a deterministic tiebreak: a doc holding both
@@ -712,6 +719,7 @@ def build_blocks(
                 ("variants", pa.list_(pa.string())),
                 ("tfs", pa.list_(pa.int32())),
                 ("dls", pa.list_(pa.int32())),
+                ("df", pa.int64()),
             ]
         )
 
@@ -772,6 +780,7 @@ def build_blocks(
                     pa.ListArray.from_arrays(offs, cols["variant"]),
                     pa.ListArray.from_arrays(offs, pc.cast(cols["tf"], pa.int32())),
                     pa.ListArray.from_arrays(offs, pc.cast(cols["dl"], pa.int32())),
+                    pc.take(cols["df"], heads),
                 ],
                 schema=out_schema,
             )
@@ -813,7 +822,7 @@ def build_blocks(
         def emit(b: pd.DataFrame) -> pd.DataFrame:
             out = {k: [] for k in (
                 "context", "shard", "term_lc", "block_id", "n_postings",
-                "max_tfn", "doc_ids_vb", "variants", "tfs", "dls",
+                "max_tfn", "doc_ids_vb", "variants", "tfs", "dls", "df",
             )}
             cx_a = b["context"].to_numpy()
             lc_a = b["term_lc"].to_numpy()
@@ -830,6 +839,7 @@ def build_blocks(
             var_a = b["variant"].to_numpy()
             tf_a = b["tf"].to_numpy().astype(np.int32)
             dl_a = b["dl"].to_numpy().astype(np.int32)
+            df_a = b["df"].to_numpy().astype(np.int64)
             sh_a = b["shard"].to_numpy()
             for i0, i1 in zip(starts, ends):
                 cx = cx_a[i0]
@@ -851,6 +861,7 @@ def build_blocks(
                 out["variants"].append(var_a[i0:i1])
                 out["tfs"].append(tf_a[i0:i1])
                 out["dls"].append(dl_a[i0:i1])
+                out["df"].append(df_a[i0])
             return pd.DataFrame(out)
 
         for b in batches:
@@ -875,22 +886,33 @@ def build_blocks(
     packed_schema = (
         "context string, shard int, term_lc string, block_id int, "
         "n_postings long, max_tfn double, doc_ids_vb binary, "
-        "variants array<string>, tfs array<int>, dls array<int>"
+        "variants array<string>, tfs array<int>, dls array<int>, df long"
     )
     if cfg.pack_strategy == "arrow":
         packed = pre.mapInArrow(pack_arrow, schema=packed_schema)
     else:
         packed = pre.mapInPandas(pack, schema=packed_schema)
-    # re-attach the per-term stats on the packed (block-granular) rows
-    # and finish the block-max bound JVM-side: max_bm25 = idf * max_tfn.
-    # No broadcast hint: term_stats is not broadcastable at 10^12-doc
-    # scale; AQE picks broadcast automatically when it is small.
+    # finish the block-max bound JVM-side on the block-granular rows:
+    # max_bm25 = idf * max_tfn. df rode the pack shuffle and n_docs is
+    # a per-context literal from the already-collected context stats —
+    # the r5 form re-joined BOTH from fresh aggregations over the
+    # postings table, adding two full corpus scans to the blocks job.
+    # (n - df) is integral and < 2^53, so the double literal keeps idf
+    # bit-identical to the former long-column arithmetic.
+    n_docs_lit: Column | None = None
+    for cx, nd in sorted(n_docs_by_cx.items()):
+        lit = F.lit(float(nd))
+        n_docs_lit = (
+            lit
+            if n_docs_lit is None
+            else F.when(F.col("context") == cx, lit).otherwise(n_docs_lit)
+        )
+    if n_docs_lit is None:  # no contexts -> empty postings
+        n_docs_lit = F.lit(0.0)
     return (
-        packed.join(tstats.select("context", "term_lc", "df"),
-                    ["context", "term_lc"])
-        .join(F.broadcast(cstats.select("context", "n_docs")), "context")
+        packed
         .withColumn("n_blocks", n_blocks)
-        .withColumn("max_bm25", idf_col(F.col("df"), F.col("n_docs")) * F.col("max_tfn"))
+        .withColumn("max_bm25", idf_col(F.col("df"), n_docs_lit) * F.col("max_tfn"))
         .select(
             "context", "shard", "term_lc", "block_id", "n_postings",
             "max_bm25", "df", "n_blocks", "doc_ids_vb", "variants",
