@@ -481,8 +481,40 @@ def _mm_decode_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-gate window allocation (r5 verdict, next-round #1): the
+# driver's CORRECTNESS artifact covers the first 50 queries() entries in
+# dict order, and r5 left the 14 newest/riskiest gates at positions
+# 51-64 with no driver row.  Front-load exactly those 14
+# (never-driver-confirmed: evt_sessionize — the one historically red
+# gate — dedup_span_stats/strip_spans/embedding, mm_decode_png,
+# crawl_frontier; dropped-out-of-window-in-r5: dedup_cluster, emb_*,
+# mm_*, cmp_query_and) and rotate 14 multi-round-stable gates (each
+# driver-green 3-5 consecutive rounds) to the tail as the reserve.
+# Pure reordering: every gate's callable and oracle SQL string are
+# byte-identical, only dict insertion order changes.
+_GATE_FRONT = [
+    "dedup_span_stats", "dedup_strip_spans", "dedup_cluster",
+    "dedup_embedding", "emb_cosine_topk", "emb_ann_lsh", "emb_ann_ivf",
+    "mm_payload_meta", "mm_frame_sample", "mm_near_dup", "mm_decode_png",
+    "crawl_frontier", "evt_sessionize", "cmp_query_and",
+]
+_GATE_RESERVE = [
+    "idx_term_lookup", "idx_bool_and", "idx_bool_or", "idx_bool_andnot",
+    "idx_bm25_single", "idx_bm25_and", "idx_bm25_or", "idx_bm25_boost",
+    "txt_token_count", "txt_token_count_bpe", "txt_quality",
+    "txt_fingerprint", "txt_langid", "dedup_exact",
+]
+
+
+def _reorder_gates(d: dict) -> dict:
+    front = [k for k in _GATE_FRONT if k in d]
+    reserve = [k for k in _GATE_RESERVE if k in d]
+    mid = [k for k in d if k not in _GATE_FRONT and k not in _GATE_RESERVE]
+    return {k: d[k] for k in front + mid + reserve}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         # --- boolean retrieval / posting algebra (SURVEY §2.4-2.5) ---
         "idx_term_lookup": _q_select("'spark'"),
         "idx_bool_and": _q_select("'spark' 'hash'"),
@@ -878,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         ),
     }
+    return _reorder_gates(base)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1238,7 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN term = 's' THEN 1.0 WHEN length(term) = 1 THEN 0.75 "
         "ELSE 0.5 * 1.0 / length(term) END"
     )
-    return {
+    base = {
         "idx_term_lookup": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'spark'",
         "idx_text_small": f"SELECT DISTINCT doc_id FROM {toks} WHERE term = 'hash'",
         # title context = tokens of the source column only (the html's
@@ -1870,3 +1903,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY score_x1e4 DESC, term ASC LIMIT 10
         """,
     }
+    # mirror queries()' exact entry order (not just the front/reserve
+    # split) so the two dicts stay positionally aligned
+    return {k: base[k] for k in queries()}
